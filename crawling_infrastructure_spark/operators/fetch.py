@@ -1,0 +1,131 @@
+"""The fetch-map — SURVEY.md §2.8, an exact port of the reference's
+``CrawlHandler.run`` state machine (crawler/src/handler.ts:51-206) as a
+vectorized ``groupBy(host).applyInPandas`` operator.
+
+Semantics reproduced per item (with reference lines):
+- retries += 1 per attempt                       handler.ts:108
+- success  -> status=completed, error=''         handler.ts:117-124
+- failure  -> status=failed, error=message       handler.ts:161
+- BLOCKED (HTTP 401/403/407/429/451 or proxy needles, handler.ts:15-32) ->
+  status=failed BUT retries -= 1 — a blocked attempt does NOT consume a
+  retry (handler.ts:171-176). We encode it as retries_delta=0.
+
+Fetching is hermetic (FIXTURES.md): URLs resolve against the synthetic pages
+corpus via a broadcast inner join (claimed side is epoch-budget-bounded, so
+the corpus is scanned map-side only — zero shuffle), and failures are
+injected deterministically from (url, epoch). A real-network deployment
+swaps ``HermeticFetcher`` for one whose ``fetch_group`` does HTTP I/O; the
+plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.functions.html import clean_html, extract_links
+from crawling_infrastructure_spark.schema import FETCH_RESULT_SCHEMA, Status
+from crawling_infrastructure_spark.synth import (
+    OUTCOME_BLOCKED,
+    OUTCOME_HTTP500,
+    OUTCOME_OK,
+    OUTCOME_TIMEOUT,
+)
+
+# handler.ts:26-32
+BLOCKED_HTTP_CODES = (401, 403, 407, 429, 451)
+# bytes/ms of simulated transfer — keeps elapsed_ms deterministic (no wall
+# clock; BASELINE.md's rps numbers come from these, not real sleeps)
+SIM_BYTES_PER_MS = 2048.0
+
+
+@dataclass
+class HermeticFetcher:
+    """Network-free fetcher resolving against the synthetic corpus.
+
+    ``outcome_fn(url, epoch) -> str`` injects deterministic failures.
+    """
+
+    epoch: int
+    outcome_fn: object = None  # callable (url, epoch) -> outcome str
+
+    def outcome(self, url: str) -> str:
+        if self.outcome_fn is None:
+            return OUTCOME_OK
+        return self.outcome_fn(url, self.epoch)
+
+    def fetch_group(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """One host-group batch: claimed rows pre-joined with corpus html.
+        Columns in: url, url_hash, host, retries, warc_ts, html, lang."""
+        out = {k: [] for k in (
+            "url", "url_hash", "host", "status", "retries_delta", "error",
+            "html", "text", "lang", "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
+        )}
+        for row in pdf.itertuples(index=False):
+            html = row.html
+            outcome = self.outcome(row.url)
+            status, delta, error = Status.COMPLETED, 1, ""
+            text, links, nbytes = None, None, 0
+            if html is None:
+                # URL not in corpus == connection error; consumes a retry
+                status, delta, error = Status.FAILED, 1, "RequestError: getaddrinfo ENOTFOUND"
+            elif outcome == OUTCOME_BLOCKED:
+                # blocked != failed attempt: retries incremented then
+                # decremented (handler.ts:108 + 171-176) -> net 0
+                status, delta, error = Status.FAILED, 0, "blocked: status code 403"
+            elif outcome == OUTCOME_TIMEOUT:
+                status, delta, error = Status.FAILED, 1, "TimeoutError: Timeout awaiting 'request'"
+            elif outcome == OUTCOME_HTTP500:
+                status, delta, error = Status.FAILED, 1, "HTTPError: Response code 500"
+            else:
+                h = bytes(html)
+                text = clean_html(h.decode("utf-8", errors="replace"))
+                links = extract_links(h.decode("utf-8", errors="replace"))
+                nbytes = len(h)
+            out["url"].append(row.url)
+            out["url_hash"].append(row.url_hash)
+            out["host"].append(row.host)
+            out["status"].append(status)
+            out["retries_delta"].append(delta)
+            out["error"].append(error)
+            out["html"].append(html if status == Status.COMPLETED else None)
+            out["text"].append(text)
+            out["lang"].append(row.lang if status == Status.COMPLETED else None)
+            out["warc_ts"].append(row.warc_ts)
+            out["outlinks"].append(links)
+            out["bytes_fetched"].append(nbytes)
+            out["elapsed_ms"].append(nbytes / SIM_BYTES_PER_MS + 1.0)
+        return pd.DataFrame(out)
+
+
+def resolve_against_corpus(claimed: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Attach corpus html to the claimed batch WITHOUT shuffling the corpus:
+    inner join with the broadcast (budget-bounded) claimed side, then add
+    back corpus-misses via a broadcast anti-join. Both joins are map-side."""
+    c = claimed.select("url", "url_hash", "host", "retries")
+    found = corpus.select("url", "warc_ts", "html", "lang").join(F.broadcast(c), "url", "inner")
+    missing = c.join(
+        F.broadcast(found.select("url")), "url", "left_anti"
+    ).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        "url_hash",
+        "host",
+        "retries",
+    )
+    return found.unionByName(missing)
+
+
+def fetch_batch(claimed: DataFrame, corpus: DataFrame, fetcher: HermeticFetcher) -> DataFrame:
+    """claimed frontier batch -> FETCH_RESULT_SCHEMA rows, grouped by host so
+    one Python worker handles one host's batch (politeness locality; mirrors
+    the reference's one-worker-per-item-batch layout)."""
+    resolved = resolve_against_corpus(claimed, corpus)
+    return resolved.groupBy("host").applyInPandas(
+        lambda pdf: fetcher.fetch_group(pdf), FETCH_RESULT_SCHEMA
+    )

@@ -1,0 +1,212 @@
+"""The crawl epoch loop — the Spark re-expression of the reference's
+scheduler-daemon heartbeat (master/scheduler/daemon.ts:61-79,308-391) plus
+worker crawl loop (crawler/src/index.ts:147-205) as ONE driver loop where
+each iteration is a handful of Spark jobs over snapshot-versioned tables.
+
+One epoch =
+  1. claim    window-ranked dequeue under the politeness token bucket (W1)
+  2. fetch    groupBy(host).applyInPandas state machine (§2.8)
+  3. pages    append completed rows to the pages table (S6/S7 collapsed)
+  4. merge    frontier status/retries write-back (U1) + failed->initial
+              re-enqueue below retry cap (U2)
+  5. grow     outlinks -> canonicalize -> robots -> bloom+anti-join dedup
+              (S5+J3) -> append as new initial rows
+  6. metrics  per-host lineage rows (worker_meta analogue)
+  7. tag      snapshot 'epoch-K' on every table — the checkpoint
+
+Kill the driver at ANY point: resume() heals running->initial (U4) from the
+last committed snapshots and re-runs the epoch. Single-writer + atomic
+manifest commit = the race-free version of the reference's heartbeat healing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.catalog import Catalog
+from crawling_infrastructure_spark.config import TaskConfig
+from crawling_infrastructure_spark.operators.claim import claim_batch, mark_running
+from crawling_infrastructure_spark.operators.fetch import HermeticFetcher, fetch_batch
+from crawling_infrastructure_spark.operators.frontier import (
+    frontier_rows,
+    merge_results,
+    reenqueue_failed,
+    reset_running,
+    task_finished,
+)
+from crawling_infrastructure_spark.operators.metrics import epoch_metrics
+from crawling_infrastructure_spark.operators.robots import RobotsCache, filter_allowed
+from crawling_infrastructure_spark.operators.seen import (
+    build_seen,
+    filter_unseen,
+    update_seen,
+)
+from crawling_infrastructure_spark.schema import Status
+
+
+@dataclass
+class EpochStats:
+    epoch: int
+    claimed: int = 0
+    completed: int = 0
+    failed: int = 0
+    blocked: int = 0
+    new_urls: int = 0
+    bytes_fetched: int = 0
+    finished: bool = False
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        corpus: DataFrame,
+        cfg: TaskConfig,
+        outcome_fn=None,
+        robots: RobotsCache | None = None,
+        claim_snapshot: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.corpus = corpus
+        self.outcome_fn = outcome_fn
+        self.robots = robots or RobotsCache({})
+        # claim_snapshot=True commits the initial->running transition as its
+        # own snapshot (observable intermediate state, exact kill-resume
+        # parity with the reference's claim; costs one extra frontier write
+        # per epoch — turn off for throughput benchmarks)
+        self.claim_snapshot = claim_snapshot
+        cat = Catalog(catalog_root)
+        self.frontier_t = cat.table(f"frontier_{cfg.task_id}")
+        self.pages_t = cat.table(f"pages_{cfg.task_id}")
+        self.metrics_t = cat.table(f"metrics_{cfg.task_id}")
+        self.seen_t = cat.table(f"seen_{cfg.task_id}")
+
+    # -- lifecycle ---------------------------------------------------------
+    def init_task(self, seeds: DataFrame) -> int:
+        """Seed the frontier (S1-S4) + build the seen set. Returns row count."""
+        rows = frontier_rows(seeds, self.cfg.priority, epoch=0)
+        if self.cfg.respect_robots:
+            rows = filter_allowed(rows, self.spark, self.robots)
+        self.frontier_t.write_full(rows, tag="epoch-0")
+        f = self.frontier_t.read(self.spark)
+        self.seen_t.write_full(
+            build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
+            tag="epoch-0",
+        )
+        return f.count()
+
+    def resume(self) -> int:
+        """Heal after a kill: running -> initial (U4 resetRunningItems) and
+        continue from the last committed epoch tag."""
+        f = self.frontier_t.read(self.spark)
+        n_running = f.filter(F.col("status") == Status.RUNNING).count()
+        if n_running:
+            self.frontier_t.write_full(reset_running(f), tag="heal")
+        tags = [
+            v["tag"] for v in self.frontier_t.snapshots()
+            if v.get("tag", "").startswith("epoch-")
+        ]
+        return max(int(t.split("-")[1]) for t in tags) if tags else 0
+
+    # -- one epoch ----------------------------------------------------------
+    def run_epoch(self, epoch: int) -> EpochStats:
+        stats = EpochStats(epoch=epoch)
+        frontier = self.frontier_t.read(self.spark)
+
+        claimed = claim_batch(frontier, self.cfg).cache()
+        stats.claimed = claimed.count()
+        if stats.claimed == 0:
+            stats.finished = not self.cfg.longliving
+            claimed.unpersist()
+            return stats
+
+        if self.claim_snapshot:
+            self.frontier_t.write_full(
+                mark_running(frontier, claimed), tag=f"epoch-{epoch}-claim"
+            )
+            frontier = self.frontier_t.read(self.spark)
+
+        fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn)
+        results = fetch_batch(claimed, self.corpus, fetcher).cache()
+
+        agg = results.agg(
+            F.sum(F.when(F.col("status") == Status.COMPLETED, 1).otherwise(0)),
+            F.sum(F.when((F.col("status") == Status.FAILED) & (F.col("retries_delta") > 0), 1).otherwise(0)),
+            F.sum(F.when((F.col("status") == Status.FAILED) & (F.col("retries_delta") == 0), 1).otherwise(0)),
+            F.sum("bytes_fetched"),
+        ).collect()[0]
+        stats.completed = int(agg[0] or 0)
+        stats.failed = int(agg[1] or 0)
+        stats.blocked = int(agg[2] or 0)
+        stats.bytes_fetched = int(agg[3] or 0)
+
+        # 3. pages append — columnar write replaces N S3 puts (S6/S7)
+        pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+        self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
+
+        # 4. status write-back + retryable-failed re-enqueue
+        merged = reenqueue_failed(
+            merge_results(frontier, results), self.cfg.retry_failed_items
+        )
+
+        # 5. frontier growth: outlinks -> dedup -> new initial rows
+        outlinks = results.select(F.explode("outlinks").alias("item"))
+        candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
+        if self.cfg.respect_robots:
+            candidates = filter_allowed(candidates, self.spark, self.robots)
+        if self.cfg.dedup:
+            seen = self.seen_t.read(self.spark)
+            new_rows = filter_unseen(
+                candidates, seen, merged, self.cfg.seen_buckets
+            ).cache()
+        else:
+            new_rows = candidates.cache()  # reference semantics: dups permitted
+        stats.new_urls = new_rows.count()
+
+        self.frontier_t.write_full(
+            merged.unionByName(new_rows), tag=f"epoch-{epoch}"
+        )
+        if self.cfg.dedup and stats.new_urls:
+            self.seen_t.write_full(
+                update_seen(
+                    self.seen_t.read(self.spark),
+                    new_rows.select("url_hash"),
+                    self.cfg.seen_buckets,
+                    self.cfg.bloom_fpp,
+                ),
+                tag=f"epoch-{epoch}",
+            )
+
+        # 6. metrics lineage
+        self.metrics_t.append(epoch_metrics(results, epoch), tag=f"epoch-{epoch}")
+
+        claimed.unpersist()
+        results.unpersist()
+        new_rows.unpersist()
+
+        # 7. termination predicate (A2)
+        stats.finished = not self.cfg.longliving and task_finished(
+            self.frontier_t.read(self.spark), self.cfg.retry_failed_items
+        )
+        return stats
+
+    def run(self, seeds: DataFrame | None = None, max_epochs: int = 50) -> list[EpochStats]:
+        start = 1
+        if seeds is not None:
+            self.init_task(seeds)
+        elif self.frontier_t.exists():
+            start = self.resume() + 1
+        history: list[EpochStats] = []
+        for epoch in range(start, start + max_epochs):
+            s = self.run_epoch(epoch)
+            history.append(s)
+            if s.finished:
+                break
+        return history

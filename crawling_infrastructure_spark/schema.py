@@ -1,0 +1,116 @@
+"""Table schemas + status enums.
+
+Status codes are byte-compatible with the reference's ``QueueItemStatus``
+(/root/reference/lib/types/queue.ts:13-18) and worker-meta ``WorkerStatus``
+(/root/reference/lib/types/workermeta.ts:3-7) so that any count/aggregate we
+produce can be compared number-for-number with the reference's Mongo queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+# QueueItemStatus — lib/types/queue.ts:13-18
+class Status:
+    INITIAL = 0
+    RUNNING = 1
+    COMPLETED = 2
+    FAILED = 3
+
+
+# CrawlStatus (tasks) — lib/types/tasks.ts (started/completed/failed/paused)
+class TaskStatus:
+    STARTED = 0
+    COMPLETED = 1
+    FAILED = 2
+    PAUSED = 3
+
+
+# WorkerStatus — lib/types/workermeta.ts:3-7
+class WorkerStatus:
+    STARTED = 0
+    COMPLETED = 1
+    LOST = 2
+
+
+# The URL frontier — the Spark re-expression of the per-task Mongo queue
+# collection ``item_queue_<task_id>`` (lib/types/queue.ts:31-61). Extra
+# columns vs the reference: url_hash/host/host_hash (bucketing + dedup keys),
+# priority/seq (deterministic ordering contract), epoch_added (lineage).
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_hash", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # insertion sequence (ordering contract)
+        T.StructField("crawled", T.TimestampType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("region", T.StringType(), True),
+        T.StructField("epoch_added", T.IntegerType(), False),
+    ]
+)
+
+# Common-Crawl-style pages table — exactly the shape from BASELINE.json
+# input_hint: (url:string, warc_ts:timestamp, html:binary, text:string,
+# lang:string). This is both the crawl *corpus* (what the hermetic fetch UDF
+# resolves URLs against) and the crawl *output* table.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# Fetch-result frame emitted by the fetch UDF — mirrors what the reference's
+# worker writes back per item (crawler/src/crawl_queue.ts:119-149): status,
+# retries delta, error, plus the extracted payload destined for pages.
+FETCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("retries_delta", T.IntegerType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("outlinks", T.ArrayType(T.StringType()), True),
+        T.StructField("bytes_fetched", T.LongType(), False),
+        T.StructField("elapsed_ms", T.DoubleType(), False),
+    ]
+)
+
+# Per-epoch, per-host-group metrics — the worker_meta analogue
+# (lib/types/workermeta.ts:20-77): one row per (epoch, host group) instead of
+# one Mongo doc per lambda invocation.
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("claimed", T.LongType(), False),
+        T.StructField("completed", T.LongType(), False),
+        T.StructField("failed", T.LongType(), False),
+        T.StructField("blocked", T.LongType(), False),
+        T.StructField("bytes_fetched", T.LongType(), False),
+        T.StructField("elapsed_ms", T.DoubleType(), False),
+        T.StructField("avg_items_per_second", T.DoubleType(), True),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_id", T.IntegerType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("bloom", T.BinaryType(), False),
+    ]
+)
