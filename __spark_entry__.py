@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship analytics pipeline on sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus the
+training-data pipeline operators, each paired with a DuckDB oracle (see
+crawling_infrastructure_spark/plans/queries.py for the registry and the
+engine-parity rules).
 """
 
 from __future__ import annotations
@@ -12,27 +12,48 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.plans.queries import ORACLE_SQL, QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's canonical post-crawl analytics — domain
+    group-count + quality/lang enrichment over the documents corpus
+    (domain_count.js semantics, A10/W7), joined with per-domain quality.
+    """
+    from crawling_infrastructure_spark.operators.textstats import lang_id, quality_score
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    counts = (
+        docs.groupBy(F.col("source").alias("domain"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    quality = (
+        quality_score(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(F.round(F.avg("quality"), 4).alias("avg_quality"))
+    )
+    langs = (
+        lang_id(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(F.count(F.when(F.col("guessed_lang") == "en", 1)).alias("n_en"))
+    )
+    return (
+        counts.join(quality, "domain")
+        .join(langs, "domain")
+        .orderBy(F.desc("cnt"), F.asc("domain"))
+        .limit(35)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

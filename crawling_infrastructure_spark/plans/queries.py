@@ -1,0 +1,528 @@
+"""Query registry for the driver contract (__spark_entry__.py).
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a training-data
+pipeline operator) over the driver-provided testdata tables, paired with an
+ANSI-SQL oracle DuckDB runs on the same parquet. Column names and types are
+aligned on BOTH sides; float aggregates are rounded; every ORDER BY ... LIMIT
+carries a total tie-break so the row set is deterministic.
+
+Parity rules used throughout (see operators/textstats.py):
+- count(CASE/when) instead of sum(CASE) — DuckDB sum(int) is HUGEINT,
+  Spark sum is long; count is BIGINT in both.
+- replace-length counting instead of regex counting.
+- timestamps compared as epoch seconds (floor), never as rendered strings.
+- embeddings cast to double before arithmetic so both engines do identical
+  f64 operations on identical values.
+
+The synthetic 'frontier' view over events maps the crawl-queue semantics
+onto driver data: status = event_id % 4 (same codes as QueueItemStatus),
+retries = user_id % 5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.operators.dedup import (
+    embedding_cosine_neardup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from crawling_infrastructure_spark.operators.multimodal import extract_media_features
+from crawling_infrastructure_spark.operators.similarity import cosine_topk_bruteforce
+from crawling_infrastructure_spark.operators.textstats import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _status(events: DataFrame) -> DataFrame:
+    return events.withColumn("status", F.pmod(F.col("event_id"), F.lit(4)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# crawl-queue semantics over driver tables
+# ---------------------------------------------------------------------------
+
+def q_queue_stats(spark, sf_dir):
+    """A1 getQueueStatistics — count per status (queue.model.ts:98-106)."""
+    return (
+        _status(_t(spark, sf_dir, "events"))
+        .groupBy("status")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("status")
+    )
+
+
+def q_task_finished_counts(spark, sf_dir):
+    """A2 taskFinished inputs — completed + exhausted-failed counts
+    (queue.model.ts:116-127); retries := user_id % 5, cap 3."""
+    e = _status(_t(spark, sf_dir, "events")).withColumn(
+        "retries", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    return e.agg(
+        F.count(F.when(F.col("status") == 2, 1)).alias("done"),
+        F.count(F.when((F.col("status") == 3) & (F.col("retries") >= 3), 1)).alias("dead"),
+        F.count("*").alias("total"),
+    )
+
+
+def q_progress_windows(spark, sf_dir):
+    """A3 completedItemsNewerThan — completed counts per 6h bucket
+    (queue.model.ts:172-199)."""
+    e = _status(_t(spark, sf_dir, "events")).filter(F.col("status") == 2)
+    bucket = F.floor(F.unix_timestamp("ts") / 21600).cast("long")
+    return e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt")).orderBy("bucket")
+
+
+def q_recent_completed(spark, sf_dir):
+    """W3 getRecentCompleted — sort -crawled limit k (queue.model.ts:201-207);
+    physical plan is TakeOrderedAndProject (distributed top-k)."""
+    e = _status(_t(spark, sf_dir, "events")).filter(F.col("status") == 2)
+    return (
+        e.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", F.unix_timestamp("ts").alias("epoch_s"))
+    )
+
+
+def q_ranked_dequeue(spark, sf_dir):
+    """W1 getItemsToCrawlSafe — the window-ranked claim: row_number per
+    'host' (user_id) with per-host budget 3 (crawl_queue.ts:89-117)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_worker_meta_stats(spark, sf_dir):
+    """A7 getWorkerMetaStatistics — per-worker aggregates
+    (workermeta.model.ts:78-117); user_id plays worker_id."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_id_mapping_join(spark, sf_dir):
+    """J1 id->item mapping join (crawltask.service.ts:315-332) — here
+    documents x embeddings on doc_id=vec_id, broadcast hash join."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return d.join(
+        F.broadcast(e), d.doc_id == e.vec_id, "inner"
+    ).select("doc_id", "lang", "label")
+
+
+def q_anti_join_unseen(spark, sf_dir):
+    """J3 URL-seen anti-join shape (the dedup the reference lacks) — users
+    who clicked but never purchased."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.join(buys, "user_id", "left_anti")
+
+
+def q_union_dedup(spark, sf_dir):
+    """S5 frontier growth: union + distinct (enqueue.ts:91-116 + J3)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("source") == "src1").select("doc_id")
+    return a.unionByName(b).distinct()
+
+
+def q_domain_count(spark, sf_dir):
+    """A10/W7 domain_count.js — group-count + top-35
+    (master/other/domain_count.js:24-62); documents.source plays the host."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.col("source").alias("domain"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("domain"))
+        .limit(35)
+    )
+
+
+def q_priority_absolute(spark, sf_dir):
+    """W5 absolute priority policy — keep only max-priority items
+    (daemon.ts:220-226). '1-URGENT' sorts lowest = most urgent."""
+    o = _t(spark, sf_dir, "orders")
+    mn = o.agg(F.min("o_orderpriority").alias("mn"))
+    return (
+        o.join(F.broadcast(mn), o.o_orderpriority == F.col("mn"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+def q_priority_relative(spark, sf_dir):
+    """W6 relative priority policy — sort by priority; the reference sorts
+    ASCENDING despite its 'higher first' comment (daemon.ts:227-241, latent
+    bug) — we reproduce the observable ascending order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# classic aggregation shapes (scan/filter/agg coverage)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped hash aggregate over lineitem (partial+final agg,
+    pushed-down scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """Top-k revenue orders — distributed TakeOrdered over an aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact Jaccard — rows-only check
+    (sketch pipeline not SQL-expressible)."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dups via pigeonhole bucketing — rows-only check."""
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return embedding_cosine_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: first 20 vectors probe the whole corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(qs, e, k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: text re-encoded as a binary payload column, run
+    through the mapInPandas feature extractor (stub decode); the SQL oracle
+    cross-checks the byte accounting."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_media_features(d).select("media_id", "n_bytes", "format")
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped (windowed/sessionized) over the events table
+# ---------------------------------------------------------------------------
+
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling 1h window counts — the batch equivalent of the streaming
+    windowed aggregation (streaming/stream.py runs the readStream variant)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_timestamp("w.start").alias("bucket_s"), "event_type", "cnt")
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) per user — lag + conditional count."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # ts arrives as TIMESTAMP_NTZ; route through timestamp (session=UTC) to
+    # fractional epoch seconds — matches DuckDB epoch(ts) exactly
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    marked = e.withColumn("new_sess", F.when(gap > 1800.0, 1))
+    return marked.groupBy("user_id").agg(
+        (F.count("new_sess") + F.lit(1)).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "queue_stats": q_queue_stats,
+    "task_finished_counts": q_task_finished_counts,
+    "progress_windows": q_progress_windows,
+    "recent_completed": q_recent_completed,
+    "ranked_dequeue": q_ranked_dequeue,
+    "worker_meta_stats": q_worker_meta_stats,
+    "id_mapping_join": q_id_mapping_join,
+    "anti_join_unseen": q_anti_join_unseen,
+    "union_dedup": q_union_dedup,
+    "domain_count": q_domain_count,
+    "priority_absolute": q_priority_absolute,
+    "priority_relative": q_priority_relative,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "media_features": q_media_features,
+    "windowed_event_counts": q_windowed_event_counts,
+    "sessionize": q_sessionize,
+}
+
+
+def _lang_id_sql() -> str:
+    selects = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        terms = " + ".join(
+            f"CAST((length(s)-length(replace(s,' {m} ','')))/{len(m) + 2} AS INTEGER)"
+            for m in markers
+        )
+        selects.append(f"SELECT doc_id, '{lang}' AS lang, {terms} AS score FROM t")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+scores AS ({union})
+SELECT doc_id, lang AS guessed_lang, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) rn FROM scores)
+WHERE rn = 1
+"""
+
+
+def _quality_sql() -> str:
+    punct = " + ".join(
+        f"CAST((length(text)-length(replace(text,'{p}','')))/1 AS INTEGER)"
+        for p in [".", ",", "!", "?", ";"]
+    )
+    stops = " + ".join(
+        f"CAST((length(s)-length(replace(s,' {w} ','')))/{len(w) + 2} AS INTEGER)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS s,
+                  length(text) AS n_chars,
+                  len(string_split(text,' ')) AS toks FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(toks AS INTEGER) AS n_tokens,
+       round(({punct}) * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(({stops}) * 1.0 / greatest(toks, 1), 4) AS stopword_ratio,
+       round((({stops}) * 1.0 / greatest(toks, 1)) * least(toks / 100.0, 1.0), 4) AS quality
+FROM t
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "queue_stats": """
+SELECT CAST(event_id % 4 AS INTEGER) AS status, count(*) AS cnt
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "task_finished_counts": """
+SELECT count(CASE WHEN event_id % 4 = 2 THEN 1 END) AS done,
+       count(CASE WHEN event_id % 4 = 3 AND user_id % 5 >= 3 THEN 1 END) AS dead,
+       count(*) AS total
+FROM events
+""",
+    "progress_windows": """
+SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket, count(*) AS cnt
+FROM events WHERE event_id % 4 = 2 GROUP BY 1 ORDER BY 1
+""",
+    "recent_completed": """
+SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events WHERE event_id % 4 = 2 ORDER BY ts DESC, event_id LIMIT 20
+""",
+    "ranked_dequeue": """
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+""",
+    "worker_meta_stats": """
+SELECT user_id, count(*) AS n,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+""",
+    "id_mapping_join": """
+SELECT d.doc_id, d.lang, e.label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    "anti_join_unseen": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+    "union_dedup": """
+SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  UNION ALL SELECT doc_id FROM documents WHERE source = 'src1')
+""",
+    "domain_count": """
+SELECT source AS domain, count(*) AS cnt FROM documents
+GROUP BY source ORDER BY cnt DESC, domain LIMIT 35
+""",
+    "priority_absolute": """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE o_orderpriority = (SELECT min(o_orderpriority) FROM orders)
+""",
+    "priority_relative": """
+SELECT o_orderpriority AS priority, count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "top_revenue_orders": """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10
+""",
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+""",
+    "embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.3
+""",
+    "ann_cosine_topk": """
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) DESC, b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20)
+WHERE rank <= 5
+""",
+    "lang_id": _lang_id_sql(),
+    "quality_score": _quality_sql(),
+    "token_counts": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+""",
+    "fingerprint": """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    "media_features": """
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'unknown' AS format
+FROM documents
+""",
+    "windowed_event_counts": """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s, event_type,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "sessionize": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+              THEN 1 END AS new_sess
+  FROM events)
+SELECT user_id, count(new_sess) + 1 AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+}
