@@ -55,6 +55,11 @@ class TaskConfig:
     # Bloom filter sizing for the seen-set scale path
     seen_buckets: int = 32
     bloom_fpp: float = 0.001
+    # bloom prefilter before the exact anti-join: pays off when the frontier
+    # is much larger than executor-broadcastable (the 10^10 design point);
+    # at sandbox scale the exact anti-join alone is cheaper — both paths are
+    # exact, this only moves work (see operators/seen.py)
+    bloom_prefilter: bool = True
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

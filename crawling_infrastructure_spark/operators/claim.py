@@ -52,6 +52,13 @@ def claim_batch(frontier: DataFrame, cfg: TaskConfig) -> DataFrame:
     ranked = rank_candidates(frontier).filter(
         F.col("host_rank") <= cfg.max_items_per_host_per_epoch
     )
+    # fast path: if every capped candidate fits in the budget, the top-k is
+    # the identity — skip TakeOrdered entirely (matters when the budget is
+    # huge, e.g. a firehose backfill epoch: heaps of size B per partition
+    # are pure waste). One cheap count against the cached ranking buys it.
+    ranked = ranked.cache()
+    if ranked.count() <= cfg.epoch_budget:
+        return ranked
     return ranked.orderBy(
         F.asc("host_rank"), F.desc("priority"), F.asc("epoch_added"), F.asc("seq")
     ).limit(cfg.epoch_budget)

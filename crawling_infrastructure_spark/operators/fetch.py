@@ -121,11 +121,41 @@ def resolve_against_corpus(claimed: DataFrame, corpus: DataFrame) -> DataFrame:
     return found.unionByName(missing)
 
 
-def fetch_batch(claimed: DataFrame, corpus: DataFrame, fetcher: HermeticFetcher) -> DataFrame:
-    """claimed frontier batch -> FETCH_RESULT_SCHEMA rows, grouped by host so
-    one Python worker handles one host's batch (politeness locality; mirrors
-    the reference's one-worker-per-item-batch layout)."""
+def fetch_batch(
+    claimed: DataFrame,
+    corpus: DataFrame,
+    fetcher: HermeticFetcher,
+    by_host: bool = False,
+    host_salt: int = 32,
+) -> DataFrame:
+    """claimed frontier batch -> FETCH_RESULT_SCHEMA rows.
+
+    Default path: ``mapInPandas`` — the per-item state machine is row-
+    independent (politeness already enforced at claim time by the token
+    bucket), so no shuffle is needed at all and Zipf-head hosts can't
+    straggle a task. This is the 100 TB-correct plan: fetch parallelism ==
+    scan parallelism.
+
+    ``by_host=True``: groupBy(host, salt) + applyInPandas for fetchers that
+    hold per-host state (connection pools, per-host rate limiters — what the
+    reference's one-worker-per-batch layout gave it). The salt splits hot
+    hosts (SURVEY.md O8): without it the Zipf head becomes one giant group
+    and a single Python worker bottlenecks BOTH small and large clusters —
+    measured: fetch wall was dominated by the top host until salted.
+    """
     resolved = resolve_against_corpus(claimed, corpus)
-    return resolved.groupBy("host").applyInPandas(
-        lambda pdf: fetcher.fetch_group(pdf), FETCH_RESULT_SCHEMA
-    )
+    if by_host:
+        salted = resolved.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(host_salt)).cast("int")
+        )
+        return salted.groupBy("host", "_salt").applyInPandas(
+            lambda pdf: fetcher.fetch_group(pdf.drop(columns=["_salt"])),
+            FETCH_RESULT_SCHEMA,
+        )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield fetcher.fetch_group(pdf)
+
+    return resolved.mapInPandas(run, FETCH_RESULT_SCHEMA)

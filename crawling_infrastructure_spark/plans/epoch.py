@@ -94,10 +94,11 @@ class CrawlJob:
             rows = filter_allowed(rows, self.spark, self.robots)
         self.frontier_t.write_full(rows, tag="epoch-0")
         f = self.frontier_t.read(self.spark)
-        self.seen_t.write_full(
-            build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
-            tag="epoch-0",
-        )
+        if self.cfg.dedup and self.cfg.bloom_prefilter:
+            self.seen_t.write_full(
+                build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
+                tag="epoch-0",
+            )
         return f.count()
 
     def resume(self) -> int:
@@ -134,16 +135,18 @@ class CrawlJob:
         fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn)
         results = fetch_batch(claimed, self.corpus, fetcher).cache()
 
-        agg = results.agg(
-            F.sum(F.when(F.col("status") == Status.COMPLETED, 1).otherwise(0)),
-            F.sum(F.when((F.col("status") == Status.FAILED) & (F.col("retries_delta") > 0), 1).otherwise(0)),
-            F.sum(F.when((F.col("status") == Status.FAILED) & (F.col("retries_delta") == 0), 1).otherwise(0)),
-            F.sum("bytes_fetched"),
+        # 6-first: metrics lineage doubles as the epoch stats source — one
+        # pass over results instead of a separate agg job
+        metrics = epoch_metrics(results, epoch).cache()
+        agg = metrics.agg(
+            F.sum("completed"), F.sum("failed"), F.sum("blocked"), F.sum("bytes_fetched")
         ).collect()[0]
         stats.completed = int(agg[0] or 0)
         stats.failed = int(agg[1] or 0)
         stats.blocked = int(agg[2] or 0)
         stats.bytes_fetched = int(agg[3] or 0)
+        self.metrics_t.append(metrics, tag=f"epoch-{epoch}")
+        metrics.unpersist()
 
         # 3. pages append — columnar write replaces N S3 puts (S6/S7)
         pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
@@ -151,20 +154,38 @@ class CrawlJob:
         )
         self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
 
-        # 4. status write-back + retryable-failed re-enqueue
+        # 4. status write-back + retryable-failed re-enqueue (cached: reused
+        # as the exact seen-set in step 5 and in the final union write)
         merged = reenqueue_failed(
             merge_results(frontier, results), self.cfg.retry_failed_items
-        )
+        ).cache()
 
         # 5. frontier growth: outlinks -> dedup -> new initial rows
         outlinks = results.select(F.explode("outlinks").alias("item"))
         candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
         if self.cfg.respect_robots:
             candidates = filter_allowed(candidates, self.spark, self.robots)
-        if self.cfg.dedup:
+        if self.cfg.dedup and self.cfg.bloom_prefilter:
+            if not self.seen_t.exists():
+                # frontier seeded outside init_task (e.g. streaming ingest,
+                # plans/streaming): bootstrap the bloom shards lazily
+                self.seen_t.write_full(
+                    build_seen(
+                        frontier.select("url_hash"),
+                        self.cfg.seen_buckets,
+                        self.cfg.bloom_fpp,
+                    ),
+                    tag=f"epoch-{epoch}-bootstrap",
+                )
             seen = self.seen_t.read(self.spark)
             new_rows = filter_unseen(
                 candidates, seen, merged, self.cfg.seen_buckets
+            ).cache()
+        elif self.cfg.dedup:
+            # exact-only path: the frontier IS the seen set; at sandbox scale
+            # the plain anti-join beats bloom cogroup round-trips
+            new_rows = candidates.join(
+                merged.select("url_hash"), "url_hash", "left_anti"
             ).cache()
         else:
             new_rows = candidates.cache()  # reference semantics: dups permitted
@@ -173,7 +194,7 @@ class CrawlJob:
         self.frontier_t.write_full(
             merged.unionByName(new_rows), tag=f"epoch-{epoch}"
         )
-        if self.cfg.dedup and stats.new_urls:
+        if self.cfg.dedup and self.cfg.bloom_prefilter and stats.new_urls:
             self.seen_t.write_full(
                 update_seen(
                     self.seen_t.read(self.spark),
@@ -184,17 +205,19 @@ class CrawlJob:
                 tag=f"epoch-{epoch}",
             )
 
-        # 6. metrics lineage
-        self.metrics_t.append(epoch_metrics(results, epoch), tag=f"epoch-{epoch}")
-
         claimed.unpersist()
         results.unpersist()
+        merged.unpersist()
         new_rows.unpersist()
 
-        # 7. termination predicate (A2)
-        stats.finished = not self.cfg.longliving and task_finished(
-            self.frontier_t.read(self.spark), self.cfg.retry_failed_items
-        )
+        # 7. termination predicate (A2) — new initial rows (discoveries or
+        # retryable re-enqueues) imply not-finished without another job
+        if stats.new_urls > 0:
+            stats.finished = False
+        else:
+            stats.finished = not self.cfg.longliving and task_finished(
+                self.frontier_t.read(self.spark), self.cfg.retry_failed_items
+            )
         return stats
 
     def run(self, seeds: DataFrame | None = None, max_epochs: int = 50) -> list[EpochStats]:

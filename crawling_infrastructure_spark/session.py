@@ -36,7 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # heavy rows (10-100 KB html) make big Arrow batches: 10k records x
+        # 30 KB = 300 MB buffered per concurrent python worker — at 32
+        # workers that's memory-bandwidth thrash (measured: fetch 2x SLOWER
+        # at 32 cores than 8). 1024 records ~= 30 MB keeps workers in cache.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

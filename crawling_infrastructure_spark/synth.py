@@ -123,14 +123,14 @@ _PARA = {
 }
 
 
-def page_html(i: int, n_pages: int, n_hosts: int, cdf: np.ndarray | None = None) -> tuple[str, str, str]:
+def page_html(i: int, n_pages: int, n_hosts: int, cdf: np.ndarray | None = None, weight: int = 1) -> tuple[str, str, str]:
     """(url, html, lang) for corpus row i — single source of truth used by the
     Spark generator, pytest, and the pure-Python crawl-order oracle."""
     url = url_of(i, n_hosts, cdf)
     lang = _LANGS[int(hashlib.md5(url.encode()).digest()[0]) % 3]
     links = outlinks_of(i, n_pages, n_hosts, cdf)
     anchors = "\n".join(f'<a href="{h}">link {j}</a>' for j, h in enumerate(links))
-    para = " ".join([_PARA[lang]] * (2 + i % 5))
+    para = " ".join([_PARA[lang]] * ((2 + i % 5) * weight))
     # adversarial bits for the clean_html port: script containing '<', nested
     # style quirk (multi-line style is NOT stripped by the reference regex),
     # attribute containing '</'
@@ -153,10 +153,10 @@ def page_html(i: int, n_pages: int, n_hosts: int, cdf: np.ndarray | None = None)
     return url, html, lang
 
 
-def _gen_batch(ids: np.ndarray, n_pages: int, n_hosts: int, cdf: np.ndarray) -> pd.DataFrame:
+def _gen_batch(ids: np.ndarray, n_pages: int, n_hosts: int, cdf: np.ndarray, weight: int = 1) -> pd.DataFrame:
     urls, htmls, texts, langs, tss = [], [], [], [], []
     for i in ids:
-        url, html, lang = page_html(int(i), n_pages, n_hosts, cdf)
+        url, html, lang = page_html(int(i), n_pages, n_hosts, cdf, weight)
         urls.append(url)
         htmls.append(html.encode("utf-8"))
         texts.append(clean_html(html))
@@ -167,7 +167,7 @@ def _gen_batch(ids: np.ndarray, n_pages: int, n_hosts: int, cdf: np.ndarray) -> 
     )
 
 
-def gen_pages(spark: SparkSession, n_pages: int, n_hosts: int, parallelism: int | None = None) -> DataFrame:
+def gen_pages(spark: SparkSession, n_pages: int, n_hosts: int, parallelism: int | None = None, weight: int = 1) -> DataFrame:
     """Distributed corpus generation: spark.range -> mapInPandas. Scales to
     any size because each row is a pure function of its id."""
     parallelism = parallelism or spark.sparkContext.defaultParallelism
@@ -175,7 +175,7 @@ def gen_pages(spark: SparkSession, n_pages: int, n_hosts: int, parallelism: int 
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _gen_batch(b["id"].to_numpy(), n_pages, n_hosts, cdf)
+            yield _gen_batch(b["id"].to_numpy(), n_pages, n_hosts, cdf, weight)
 
     return spark.range(0, n_pages, 1, parallelism).mapInPandas(gen, PAGES_SCHEMA)
 
