@@ -165,7 +165,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
-    crawl_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "200000"))
+    crawl_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "50000"))
 
     from crawling_infrastructure_spark.session import get_spark
 
