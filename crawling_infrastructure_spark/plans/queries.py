@@ -115,9 +115,14 @@ def q_worker_meta_stats(spark, sf_dir):
     """A7 getWorkerMetaStatistics — per-worker aggregates
     (workermeta.model.ts:78-117); user_id plays worker_id."""
     e = _t(spark, sf_dir, "events")
+    # avg computed as round(sum)/n with EXPLICIT half-up rounding
+    # (floor(x*1e4+0.5)/1e4): Spark round() is HALF_UP, DuckDB's is
+    # half-to-even, and 2-decimal inputs make exact .00005 ties common —
+    # the same arithmetic expression on the same doubles is engine-proof
+    avg = F.floor(F.round(F.sum("value"), 4) / F.count("*") * 10000 + F.lit(0.5)) / 10000
     return e.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        avg.alias("avg_value"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
 
@@ -406,7 +411,7 @@ SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
 """,
     "worker_meta_stats": """
 SELECT user_id, count(*) AS n,
-       round(avg(value), 4) AS avg_value,
+       floor(round(sum(value), 4) / count(*) * 10000 + 0.5) / 10000 AS avg_value,
        round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """,
