@@ -32,6 +32,8 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class Table:
@@ -143,6 +145,151 @@ class Table:
         self._commit(m)
 
 
+class BucketedTable(Table):
+    """Iceberg-style ``PARTITIONED BY bucket(N, key)`` table over Parquet.
+
+    A version's data is a map ``bucket_id -> [data dirs]`` instead of a flat
+    dir list, so a write that touches K of N buckets commits a new snapshot
+    referencing K new dirs + (N-K) *prior* dirs — MERGE INTO semantics, cost
+    O(touched buckets), never O(table). This is the property that makes the
+    epoch loop's frontier write-back O(batch) at a 10^10-row frontier
+    (VERDICT round-1 item 1; reference per-item update semantics:
+    crawler/src/crawl_queue.ts:119-149).
+
+    - ``merge_buckets(df, dirty)``: df holds the NEW full content of the
+      dirty buckets; their dir lists are replaced, all others carried over.
+    - ``append_buckets(df)``: df rows are appended; only buckets receiving
+      rows gain a dir (streaming admission — per-batch write volume is
+      O(batch), independent of frontier size).
+    - ``compact(spark)``: rewrite every bucket to one dir (the Iceberg
+      rewrite_data_files maintenance action for append-heavy buckets).
+
+    Bucket id = ``pmod(key, n_buckets)`` — non-negative even for signed
+    xxhash64 keys; for tables already keyed by a bucket ordinal in
+    [0, n_buckets) (the seen table) pmod is the identity.
+    """
+
+    BKT = "_bkt"
+
+    def __init__(self, root: str, name: str, n_buckets: int, key: str):
+        super().__init__(root, name)
+        self.n_buckets = n_buckets
+        self.key = key
+
+    def _bucket_col(self):
+        return F.pmod(F.col(self.key), F.lit(self.n_buckets)).cast("int")
+
+    def bucket_ids_of(self, df: DataFrame, key: str | None = None) -> list[int]:
+        """Distinct bucket ids present in df (the dirty set) — one tiny
+        distinct-collect over a single int column."""
+        b = F.pmod(F.col(key or self.key), F.lit(self.n_buckets)).cast("int")
+        return sorted(int(r[0]) for r in df.select(b.alias("b")).distinct().collect())
+
+    def _current_buckets(self, manifest: dict | None = None) -> dict[str, list[str]]:
+        m = manifest or self._load()
+        for v in m["versions"]:
+            if v["version"] == m["current"]:
+                return v["buckets"]
+        return {}
+
+    def _current_dirs(self, manifest: dict | None = None) -> list[str]:
+        return [d for dirs in self._current_buckets(manifest).values() for d in dirs]
+
+    def _write_partitioned(self, df: DataFrame, path: str) -> dict[str, str]:
+        """Write df partitioned by bucket; returns {bucket_id: subdir}."""
+        (
+            df.withColumn(self.BKT, self._bucket_col())
+            .repartition(self.BKT)
+            .write.mode("overwrite")
+            .partitionBy(self.BKT)
+            .parquet(path)
+        )
+        out: dict[str, str] = {}
+        for entry in os.listdir(path):
+            if entry.startswith(f"{self.BKT}="):
+                out[entry.split("=", 1)[1]] = os.path.join(path, entry)
+        return out
+
+    def _commit_buckets(self, buckets: dict[str, list[str]], tag: str | None) -> int:
+        m = self._load()
+        version = m["current"] + 1
+        m["versions"].append({"version": version, "buckets": buckets, "tag": tag})
+        m["current"] = version
+        self._commit(m)
+        return version
+
+    def write_full(self, df: DataFrame, tag: str | None = None) -> int:
+        d = self._new_data_dir(self.current_version() + 1)
+        written = self._write_partitioned(df, d)
+        return self._commit_buckets({b: [p] for b, p in written.items()}, tag)
+
+    def merge_buckets(self, df: DataFrame, dirty: list[int], tag: str | None = None) -> int:
+        """Replace the content of ``dirty`` buckets with df's rows (df must
+        contain only rows whose bucket is in ``dirty`` — enforced by filter).
+        Untouched buckets are carried over by reference: O(len(dirty))."""
+        dirty_set = {str(b) for b in dirty}
+        d = self._new_data_dir(self.current_version() + 1)
+        scoped = df.filter(self._bucket_col().isin(list(dirty)))
+        written = self._write_partitioned(scoped, d)
+        buckets = {
+            b: dirs for b, dirs in self._current_buckets().items() if b not in dirty_set
+        }
+        buckets.update({b: [p] for b, p in written.items()})
+        return self._commit_buckets(buckets, tag)
+
+    def append_buckets(self, df: DataFrame, tag: str | None = None) -> int:
+        """Append df's rows; buckets receiving rows gain one dir each."""
+        d = self._new_data_dir(self.current_version() + 1)
+        written = self._write_partitioned(df, d)
+        buckets = {b: list(dirs) for b, dirs in self._current_buckets().items()}
+        for b, p in written.items():
+            buckets.setdefault(b, []).append(p)
+        return self._commit_buckets(buckets, tag)
+
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
+        return self.append_buckets(df, tag)
+
+    def read_buckets(
+        self, spark: SparkSession, bucket_ids: list[int], schema: T.StructType | None = None
+    ) -> DataFrame:
+        """Read only the named buckets (Iceberg bucket-pruned scan). Buckets
+        with no data yet contribute nothing; if none exist, returns an empty
+        DataFrame of ``schema``."""
+        cur = self._current_buckets()
+        dirs = [d for b in bucket_ids for d in cur.get(str(b), [])]
+        if dirs:
+            return spark.read.parquet(*dirs)
+        if schema is None:
+            raise FileNotFoundError(f"table {self.name}: no data in buckets {bucket_ids}")
+        return spark.createDataFrame([], schema)
+
+    def compact(self, spark: SparkSession, tag: str | None = "compact") -> int:
+        return self.write_full(self.read(spark), tag)
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        for v in self._load()["versions"]:
+            if v["version"] == version:
+                dirs = [d for ds in v["buckets"].values() for d in ds]
+                return spark.read.parquet(*dirs)
+        raise KeyError(f"{self.name}: no version {version}")
+
+    def expire_snapshots(self, keep_last: int = 5) -> None:
+        m = self._load()
+        if len(m["versions"]) <= keep_last:
+            return
+        keep = m["versions"][-keep_last:]
+        if m["current"] not in [v["version"] for v in keep]:
+            keep = [v for v in m["versions"] if v["version"] == m["current"]] + keep
+        referenced = {d for v in keep for dirs in v["buckets"].values() for d in dirs}
+        for v in m["versions"]:
+            for dirs in v["buckets"].values():
+                for d in dirs:
+                    if d not in referenced and os.path.exists(d):
+                        shutil.rmtree(d, ignore_errors=True)
+        m["versions"] = keep
+        self._commit(m)
+
+
 class Catalog:
     """A directory of Tables — the stand-in for an Iceberg catalog/namespace."""
 
@@ -152,6 +299,9 @@ class Catalog:
 
     def table(self, name: str) -> Table:
         return Table(self.root, name)
+
+    def bucketed_table(self, name: str, n_buckets: int, key: str) -> BucketedTable:
+        return BucketedTable(self.root, name, n_buckets, key)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)

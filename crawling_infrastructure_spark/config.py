@@ -55,6 +55,12 @@ class TaskConfig:
     # Bloom filter sizing for the seen-set scale path
     seen_buckets: int = 32
     bloom_fpp: float = 0.001
+    # frontier table bucket(N, host_hash) partition count. Epoch write-back
+    # rewrites only dirty buckets (catalog.BucketedTable.merge_buckets), so
+    # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets;
+    # at a 10^10-row frontier this would be O(10^3-10^4) buckets so one
+    # bucket (~10^6-10^7 rows) fits an executor task comfortably
+    frontier_buckets: int = 64
     # bloom prefilter before the exact anti-join: pays off when the frontier
     # is much larger than executor-broadcastable (the 10^10 design point);
     # at sandbox scale the exact anti-join alone is cheaper — both paths are

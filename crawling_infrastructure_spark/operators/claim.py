@@ -11,12 +11,17 @@ Spark plan, chosen for 10^10-row frontiers:
    where politeness lives: rank <= per-host cap. Hot hosts (Zipf head) are
    bounded by the cap itself, so the window state per host never exceeds it
    after the rank filter; AQE handles residual partition skew.
-3. global token-bucket budget: ``orderBy(rank, -priority, epoch_added, seq)
-   .limit(B)`` — compiles to TakeOrderedAndProject, a *distributed partial
-   top-k* (each partition keeps B candidates, single merge of tiny heaps).
-   No global sort, no single-partition window. Ordering by per-host rank
-   first round-robins hosts, matching how the reference spreads one task
-   across many workers instead of draining one host.
+3. global token-bucket budget via *stratified top-k*: the global claim order
+   is (host_rank ASC, priority DESC, epoch_added, seq) — round-robin across
+   hosts. Instead of a global sort-limit (single-partition GlobalLimit at
+   large budgets) or a cached-count fast path (the round-1 cache leak), we
+   compute the per-host candidate histogram with ONE tiny hash aggregate
+   (``groupBy(host).count()`` — partial map-side combine, only (host, n)
+   pairs shuffle), derive on the driver how many whole host-rank strata fit
+   in the budget, and take ``rank <= r*`` plus a small TakeOrdered over the
+   single boundary stratum. Exactly equal to the naive
+   ``orderBy(rank,...).limit(B)`` row set, but no stage ever handles more
+   than one stratum and the heap size is the boundary remainder, not B.
 
 The claimed batch transitions initial -> running via merge (Iceberg: MERGE
 INTO; here: broadcast-join overwrite) — snapshot isolation replaces Mongo's
@@ -42,32 +47,74 @@ def rank_candidates(frontier: DataFrame) -> DataFrame:
     )
 
 
-def claim_batch(frontier: DataFrame, cfg: TaskConfig) -> DataFrame:
+def _stratum_histogram(frontier: DataFrame, cap: int) -> list[tuple[int, int]]:
+    """[(capped_host_count, n_hosts)] — the whole politeness stratification
+    compressed to <= cap rows. Never materializes the window."""
+    rows = (
+        frontier.filter(F.col("status") == Status.INITIAL)
+        .groupBy("host")
+        .agg(F.count("*").alias("c"))
+        .select(F.least(F.col("c"), F.lit(cap)).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("hosts"))
+        .collect()
+    )
+    return [(int(r["c"]), int(r["hosts"])) for r in rows]
+
+
+def claim_batch(
+    frontier: DataFrame, cfg: TaskConfig, with_count: bool = False
+) -> DataFrame | tuple[DataFrame, int]:
     """Select this epoch's crawl batch under the politeness budget.
 
     budget B = max_items_per_second x epoch_seconds (token bucket — the
     Spark-native replacement for the reference's jittered sleeps F7 and
     worker-count feedback loop F13); per-host cap = max_items_per_host_per_epoch.
+
+    ``with_count=True`` additionally returns the exact claimed-row count,
+    already known from the histogram — callers (the epoch loop) skip a
+    ``count()`` job on the result.
     """
-    ranked = rank_candidates(frontier).filter(
-        F.col("host_rank") <= cfg.max_items_per_host_per_epoch
+    cap = cfg.max_items_per_host_per_epoch
+    budget = cfg.epoch_budget
+    hist = _stratum_histogram(frontier, cap)
+    # hosts_at_least[r] = number of hosts with >= r capped candidates
+    # == size of host-rank stratum r
+    total = sum(c * h for c, h in hist)
+
+    ranked = rank_candidates(frontier).filter(F.col("host_rank") <= cap)
+    if total <= budget:
+        return (ranked, total) if with_count else ranked
+
+    stratum = [0] * (cap + 2)  # stratum[r] = row count at host_rank == r
+    for c, h in hist:
+        for r in range(1, c + 1):
+            stratum[r] += h
+    cum, r_star = 0, 0
+    while r_star < cap and cum + stratum[r_star + 1] <= budget:
+        r_star += 1
+        cum += stratum[r_star]
+    remainder = budget - cum
+
+    full = ranked.filter(F.col("host_rank") <= r_star)
+    if remainder == 0:
+        return (full, cum) if with_count else full
+    boundary = (
+        ranked.filter(F.col("host_rank") == r_star + 1)
+        .orderBy(*claim_order())
+        .limit(remainder)
     )
-    # fast path: if every capped candidate fits in the budget, the top-k is
-    # the identity — skip TakeOrdered entirely (matters when the budget is
-    # huge, e.g. a firehose backfill epoch: heaps of size B per partition
-    # are pure waste). One cheap count against the cached ranking buys it.
-    ranked = ranked.cache()
-    if ranked.count() <= cfg.epoch_budget:
-        return ranked
-    return ranked.orderBy(
-        F.asc("host_rank"), F.desc("priority"), F.asc("epoch_added"), F.asc("seq")
-    ).limit(cfg.epoch_budget)
+    out = full.unionByName(boundary)
+    return (out, budget) if with_count else out
 
 
 def mark_running(frontier: DataFrame, claimed: DataFrame) -> DataFrame:
     """initial -> running for the claimed set (crawl_queue.ts:94-101's
-    findOneAndUpdate, batched). Claimed side is budget-bounded -> broadcast."""
-    c = claimed.select(F.col("url_hash").alias("c_hash"))
+    findOneAndUpdate, batched). Claimed side is budget-bounded -> broadcast.
+    The claimed keys are deduplicated first: with cfg.dedup=False the
+    frontier legitimately carries duplicate url_hash rows and a raw join
+    would multiply them."""
+    c = claimed.select(F.col("url_hash").alias("c_hash")).distinct()
     j = frontier.join(F.broadcast(c), frontier.url_hash == F.col("c_hash"), "left")
     return j.withColumn(
         "status",

@@ -63,8 +63,15 @@ def merge_results(frontier: DataFrame, results: DataFrame) -> DataFrame:
     url_hash WHEN MATCHED THEN UPDATE``; with an Iceberg bucketed table only
     the touched buckets rewrite. ``results`` is budget-bounded (<= epoch
     budget) so it broadcasts — the frontier is never shuffled here.
+
+    The results side is deduplicated per url_hash before the join: with
+    cfg.dedup=False the frontier may hold duplicate url_hash rows, both
+    copies get claimed and fetched, and an un-deduped NxM join would inflate
+    the frontier every epoch. The hermetic fetcher is deterministic per
+    (url, epoch) so duplicate result rows are identical and the pick is
+    stable; both frontier copies receive the same write-back.
     """
-    r = results.select(
+    r = results.dropDuplicates(["url_hash"]).select(
         F.col("url_hash").alias("r_hash"),
         F.col("status").alias("r_status"),
         F.col("retries_delta").alias("r_delta"),

@@ -115,11 +115,23 @@ def maybe_seen_flags(candidates: DataFrame, seen: DataFrame, n_buckets: int) -> 
 
 
 def filter_unseen(
-    candidates: DataFrame, seen: DataFrame, frontier: DataFrame, n_buckets: int
+    candidates: DataFrame,
+    seen: DataFrame,
+    frontier: DataFrame,
+    n_buckets: int,
+    scratch: list | None = None,
 ) -> DataFrame:
     """EXACT new-URL filter: bloom pre-filter then anti-join for the
-    maybe-seen remainder (J3 — the anti-join the reference never had)."""
+    maybe-seen remainder (J3 — the anti-join the reference never had).
+
+    The flagged intermediate feeds two branches (bloom-negative passthrough
+    + bloom-positive anti-join), so it is cached to run the pandas cogroup
+    once. Pass ``scratch`` (a list) to receive the cached DataFrame and
+    ``unpersist()`` it after materializing the result — otherwise one cached
+    plan leaks per call (round-1 VERDICT 'what's wrong' #3)."""
     flagged = maybe_seen_flags(candidates, seen, n_buckets).cache()
+    if scratch is not None:
+        scratch.append(flagged)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket_id")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket_id")
     # epoch-bounded 'maybe' side — anti-join against the frontier keys.

@@ -8,11 +8,21 @@ One epoch =
   2. fetch    groupBy(host).applyInPandas state machine (§2.8)
   3. pages    append completed rows to the pages table (S6/S7 collapsed)
   4. merge    frontier status/retries write-back (U1) + failed->initial
-              re-enqueue below retry cap (U2)
+              re-enqueue below retry cap (U2) — DIRTY BUCKETS ONLY: the
+              frontier is bucket(N, host_hash)-partitioned and the merge
+              rewrites just the buckets containing claimed or new rows
+              (Iceberg MERGE INTO semantics; ref per-item update
+              crawler/src/crawl_queue.ts:119-149). Cost is O(batch), never
+              O(frontier) — the property that survives a 10^10-row frontier.
   5. grow     outlinks -> canonicalize -> robots -> bloom+anti-join dedup
-              (S5+J3) -> append as new initial rows
+              (S5+J3) -> new initial rows, written with the same merge
   6. metrics  per-host lineage rows (worker_meta analogue)
   7. tag      snapshot 'epoch-K' on every table — the checkpoint
+
+Invariant the dirty-bucket merge relies on: a committed frontier snapshot
+never contains a FAILED row with retries < retry cap (every epoch re-flips
+those to initial before committing, and no other writer produces failed
+rows), so reenqueue_failed restricted to dirty buckets equals the full scan.
 
 Kill the driver at ANY point: resume() heals running->initial (U4) from the
 last committed snapshots and re-runs the epoch. Single-writer + atomic
@@ -21,7 +31,7 @@ manifest commit = the race-free version of the reference's heartbeat healing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +41,7 @@ from crawling_infrastructure_spark.config import TaskConfig
 from crawling_infrastructure_spark.operators.claim import claim_batch, mark_running
 from crawling_infrastructure_spark.operators.fetch import HermeticFetcher, fetch_batch
 from crawling_infrastructure_spark.operators.frontier import (
+    FRONTIER_COLS,
     frontier_rows,
     merge_results,
     reenqueue_failed,
@@ -44,7 +55,7 @@ from crawling_infrastructure_spark.operators.seen import (
     filter_unseen,
     update_seen,
 )
-from crawling_infrastructure_spark.schema import Status
+from crawling_infrastructure_spark.schema import FRONTIER_SCHEMA, SEEN_SCHEMA, Status
 
 
 @dataclass
@@ -77,14 +88,20 @@ class CrawlJob:
         self.robots = robots or RobotsCache({})
         # claim_snapshot=True commits the initial->running transition as its
         # own snapshot (observable intermediate state, exact kill-resume
-        # parity with the reference's claim; costs one extra frontier write
-        # per epoch — turn off for throughput benchmarks)
+        # parity with the reference's claim; costs one extra dirty-bucket
+        # merge per epoch — turn off for throughput benchmarks)
         self.claim_snapshot = claim_snapshot
         cat = Catalog(catalog_root)
-        self.frontier_t = cat.table(f"frontier_{cfg.task_id}")
+        self.frontier_t = cat.bucketed_table(
+            f"frontier_{cfg.task_id}", cfg.frontier_buckets, key="host_hash"
+        )
         self.pages_t = cat.table(f"pages_{cfg.task_id}")
         self.metrics_t = cat.table(f"metrics_{cfg.task_id}")
-        self.seen_t = cat.table(f"seen_{cfg.task_id}")
+        # seen rows are already keyed by bucket_id in [0, seen_buckets):
+        # pmod is the identity, merges rewrite only blobs receiving hashes
+        self.seen_t = cat.bucketed_table(
+            f"seen_{cfg.task_id}", cfg.seen_buckets, key="bucket_id"
+        )
 
     # -- lifecycle ---------------------------------------------------------
     def init_task(self, seeds: DataFrame) -> int:
@@ -102,35 +119,51 @@ class CrawlJob:
         return f.count()
 
     def resume(self) -> int:
-        """Heal after a kill: running -> initial (U4 resetRunningItems) and
-        continue from the last committed epoch tag."""
+        """Heal after a kill: running -> initial (U4 resetRunningItems) on
+        the buckets that contain running rows, and continue from the last
+        committed epoch tag."""
         f = self.frontier_t.read(self.spark)
-        n_running = f.filter(F.col("status") == Status.RUNNING).count()
-        if n_running:
-            self.frontier_t.write_full(reset_running(f), tag="heal")
+        dirty = self.frontier_t.bucket_ids_of(f.filter(F.col("status") == Status.RUNNING))
+        if dirty:
+            fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
+            self.frontier_t.merge_buckets(reset_running(fdirty), dirty, tag="heal")
         tags = [
             v["tag"] for v in self.frontier_t.snapshots()
             if v.get("tag", "").startswith("epoch-")
         ]
         return max(int(t.split("-")[1]) for t in tags) if tags else 0
 
+    # -- seen-set maintenance ----------------------------------------------
+    def _fold_into_seen(self, new_hashes: DataFrame, tag: str) -> None:
+        """Fold url_hashes into the sharded blooms, rewriting only the blobs
+        whose bucket receives hashes."""
+        dirty = self.seen_t.bucket_ids_of(new_hashes, key="url_hash")
+        if not dirty:
+            return
+        seen_dirty = self.seen_t.read_buckets(self.spark, dirty, SEEN_SCHEMA)
+        self.seen_t.merge_buckets(
+            update_seen(seen_dirty, new_hashes, self.cfg.seen_buckets, self.cfg.bloom_fpp),
+            dirty,
+            tag=tag,
+        )
+
     # -- one epoch ----------------------------------------------------------
     def run_epoch(self, epoch: int) -> EpochStats:
         stats = EpochStats(epoch=epoch)
         frontier = self.frontier_t.read(self.spark)
 
-        claimed = claim_batch(frontier, self.cfg).cache()
-        stats.claimed = claimed.count()
+        claimed, stats.claimed = claim_batch(frontier, self.cfg, with_count=True)
         if stats.claimed == 0:
             stats.finished = not self.cfg.longliving
-            claimed.unpersist()
             return stats
+        claimed = claimed.cache()
+        dirty_claim = self.frontier_t.bucket_ids_of(claimed)
 
         if self.claim_snapshot:
-            self.frontier_t.write_full(
-                mark_running(frontier, claimed), tag=f"epoch-{epoch}-claim"
+            fdirty = self.frontier_t.read_buckets(self.spark, dirty_claim, FRONTIER_SCHEMA)
+            self.frontier_t.merge_buckets(
+                mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
             )
-            frontier = self.frontier_t.read(self.spark)
 
         fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn)
         results = fetch_batch(claimed, self.corpus, fetcher).cache()
@@ -154,14 +187,11 @@ class CrawlJob:
         )
         self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
 
-        # 4. status write-back + retryable-failed re-enqueue (cached: reused
-        # as the exact seen-set in step 5 and in the final union write)
-        merged = reenqueue_failed(
-            merge_results(frontier, results), self.cfg.retry_failed_items
-        ).cache()
-
-        # 5. frontier growth: outlinks -> dedup -> new initial rows
+        # 5. frontier growth: outlinks -> dedup -> new initial rows. The
+        # anti-join target is the pre-merge frontier snapshot — the merge
+        # only changes statuses, never the url_hash set.
         outlinks = results.select(F.explode("outlinks").alias("item"))
+        scratch: list = []
         candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
         if self.cfg.respect_robots:
             candidates = filter_allowed(candidates, self.spark, self.robots)
@@ -179,36 +209,40 @@ class CrawlJob:
                 )
             seen = self.seen_t.read(self.spark)
             new_rows = filter_unseen(
-                candidates, seen, merged, self.cfg.seen_buckets
+                candidates, seen, frontier, self.cfg.seen_buckets, scratch=scratch
             ).cache()
         elif self.cfg.dedup:
             # exact-only path: the frontier IS the seen set; at sandbox scale
             # the plain anti-join beats bloom cogroup round-trips
             new_rows = candidates.join(
-                merged.select("url_hash"), "url_hash", "left_anti"
+                frontier.select("url_hash"), "url_hash", "left_anti"
             ).cache()
         else:
             new_rows = candidates.cache()  # reference semantics: dups permitted
         stats.new_urls = new_rows.count()
 
-        self.frontier_t.write_full(
-            merged.unionByName(new_rows), tag=f"epoch-{epoch}"
+        # 4. status write-back + retryable-failed re-enqueue + new-row
+        # admission, all in ONE dirty-bucket merge: buckets holding claimed
+        # rows get results merged in, buckets receiving new rows get them
+        # appended, every other bucket is carried over by reference.
+        dirty = sorted(set(dirty_claim) | set(self.frontier_t.bucket_ids_of(new_rows)))
+        fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
+        merged_dirty = reenqueue_failed(
+            merge_results(fdirty, results), self.cfg.retry_failed_items
+        )
+        self.frontier_t.merge_buckets(
+            merged_dirty.unionByName(new_rows.select(*FRONTIER_COLS)),
+            dirty,
+            tag=f"epoch-{epoch}",
         )
         if self.cfg.dedup and self.cfg.bloom_prefilter and stats.new_urls:
-            self.seen_t.write_full(
-                update_seen(
-                    self.seen_t.read(self.spark),
-                    new_rows.select("url_hash"),
-                    self.cfg.seen_buckets,
-                    self.cfg.bloom_fpp,
-                ),
-                tag=f"epoch-{epoch}",
-            )
+            self._fold_into_seen(new_rows.select("url_hash"), tag=f"epoch-{epoch}")
 
         claimed.unpersist()
         results.unpersist()
-        merged.unpersist()
         new_rows.unpersist()
+        for df in scratch:
+            df.unpersist()
 
         # 7. termination predicate (A2) — new initial rows (discoveries or
         # retryable re-enqueues) imply not-finished without another job

@@ -17,12 +17,15 @@ timers — but the same code runs with a processing-time trigger unbounded.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from crawling_infrastructure_spark.operators.frontier import FRONTIER_COLS, frontier_rows
+from crawling_infrastructure_spark.operators.robots import filter_allowed
+from crawling_infrastructure_spark.operators.seen import filter_unseen
 from crawling_infrastructure_spark.plans.epoch import CrawlJob
 
 SEED_STREAM_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])
@@ -49,20 +52,42 @@ def run_seed_ingest(
     """Stream seeds into the frontier with exactly-once, deduped admission.
 
     foreachBatch gives us the batch DataFrame + a monotonically increasing
-    batch_id; inside the closure we run the SAME dedup plan the epoch loop
-    uses (anti-join against the current frontier snapshot), so streaming and
-    batch admission share one code path.
+    batch_id; inside the closure we run the SAME admission plan the epoch
+    loop uses — robots filter, bloom-prefiltered exact dedup when the seen
+    table exists, and a *bucket append* (catalog.BucketedTable.append_buckets)
+    so per-batch write volume is O(batch), never O(frontier). Admitted
+    hashes are folded into the seen blooms immediately: an epoch interleaved
+    with the stream must see streamed URLs as bloom-positives, or a later
+    duplicate outlink would skip the exact anti-join and break the EXACT
+    dedup invariant.
     """
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         rows = frontier_rows(batch_df, priority, epoch=0)
-        if job.frontier_t.exists():
-            current = job.frontier_t.read(spark)
-            rows = rows.join(current.select("url_hash"), "url_hash", "left_anti")
-            merged = current.unionByName(rows.select(*FRONTIER_COLS))
+        if job.cfg.respect_robots:
+            rows = filter_allowed(rows, spark, job.robots)
+        if not job.frontier_t.exists():
+            job.frontier_t.write_full(rows, tag=f"stream-batch-{batch_id}")
+            return
+        current = job.frontier_t.read(spark)
+        scratch: list = []
+        if job.cfg.dedup and job.cfg.bloom_prefilter and job.seen_t.exists():
+            rows = filter_unseen(
+                rows, job.seen_t.read(spark), current, job.cfg.seen_buckets,
+                scratch=scratch,
+            )
         else:
-            merged = rows.select(*FRONTIER_COLS)
-        job.frontier_t.write_full(merged, tag=f"stream-batch-{batch_id}")
+            rows = rows.join(current.select("url_hash"), "url_hash", "left_anti")
+        rows = rows.select(*FRONTIER_COLS).cache()
+        if rows.count():
+            job.frontier_t.append_buckets(rows, tag=f"stream-batch-{batch_id}")
+            if job.seen_t.exists():
+                job._fold_into_seen(
+                    rows.select("url_hash"), tag=f"stream-batch-{batch_id}"
+                )
+        rows.unpersist()
+        for df in scratch:
+            df.unpersist()
 
     q = (
         seed_stream(spark, seeds_dir)
@@ -98,32 +123,58 @@ _DEDUP_OUT = T.StructType(
         T.StructField("url_hash", T.LongType(), False),
     ]
 )
-_DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.LongType()), True)])
+# per-bucket state = ONE packed little-endian uint64 array (8 bytes/hash)
+# instead of a Python list of boxed ints (~28 bytes/hash + list overhead):
+# the state row stays a flat binary blob the state store moves untouched.
+_DEDUP_STATE = T.StructType([T.StructField("seen", T.BinaryType(), True)])
 
 
 def _dedup_fn(key, pdf_iter, state: GroupState):
     import pandas as pd
 
-    seen = set(state.get[0]) if state.exists else set()
-    out = []
+    packed = state.get[0] if state.exists else None
+    seen = (
+        np.frombuffer(packed, dtype=np.uint64)
+        if packed is not None and len(packed)
+        else np.empty(0, dtype=np.uint64)
+    )
+    out_url: list = []
+    out_hash: list = []
     for pdf in pdf_iter:
-        for url, h in zip(pdf["url"], pdf["url_hash"]):
-            if int(h) not in seen:
-                seen.add(int(h))
-                out.append((int(key[0]), url, int(h)))
-    state.update((list(seen),))
-    import numpy as np  # noqa: F401  (kept for parity with other UDF imports)
-
-    if out:
-        yield pd.DataFrame(out, columns=["bucket_id", "url", "url_hash"])
+        if not len(pdf):
+            continue
+        h = pdf["url_hash"].to_numpy().astype(np.uint64)
+        # vectorized membership vs state + first-occurrence-in-batch dedup
+        fresh_mask = ~np.isin(h, seen)
+        _, first_idx = np.unique(h, return_index=True)
+        first_mask = np.zeros(len(h), dtype=bool)
+        first_mask[first_idx] = True
+        take = fresh_mask & first_mask
+        if take.any():
+            out_url.extend(pdf["url"].to_numpy()[take])
+            out_hash.extend(h[take])
+            seen = np.concatenate([seen, h[take]])
+    state.update((seen.tobytes(),))
+    if out_url:
+        yield pd.DataFrame(
+            {
+                "bucket_id": [int(key[0])] * len(out_url),
+                "url": out_url,
+                "url_hash": [int(x) for x in out_hash],
+            }
+        )
 
 
 def streaming_dedup(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
     """Exactly-once URL admission over an unbounded stream: bucket by hash,
     keep per-bucket seen-set state in the state store
-    (applyInPandasWithState). The streaming twin of operators/seen.py —
-    at 10^10 scale the state row per bucket holds a serialized bloom instead
-    of the raw hash list; the operator shape is identical."""
+    (applyInPandasWithState). The streaming twin of operators/seen.py.
+
+    State is a packed uint64 array (8 bytes per hash). Sizing: raise
+    ``n_buckets`` so one bucket's state stays small — at 10^10 URLs and
+    n_buckets=4096 each state row is ~20 MB, which the HDFS-backed state
+    store snapshots incrementally. Membership checks are vectorized
+    ``np.isin`` (sorted-merge under the hood), not per-row Python."""
     bucketed = urls.withColumn(
         "bucket_id", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
     )
