@@ -230,17 +230,29 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+    """Exact n-gram Jaccard with the document-frequency cap engaged (drop
+    shingles shared by >100 docs before the self-join — the guard against
+    quadratic join groups at corpus scale; the fixture's max shingle DF is
+    25 so values are unchanged, and the oracle applies the identical cap)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3, max_shingle_df=100
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidates verified by exact Jaccard — rows-only check
-    (sketch pipeline not SQL-expressible)."""
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+    """MinHash(32 perms) + banded LSH at the classic 0.8 near-dup threshold
+    (tune_bands -> 16 bands x 2 rows); candidates verified by exact Jaccard.
+    The oracle reproduces the ENTIRE pipeline — md5-prefix shingle hashes,
+    the 32 (a*h+b) mod p minima, band packing, candidate join, verification
+    — so the hash compare covers the sketch itself, not just the output
+    shape."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), num_perm=32, threshold=0.8)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dups via pigeonhole bucketing — rows-only check."""
+    """SimHash near-dups via pigeonhole bucketing; the oracle recomputes the
+    60-bit fingerprints (md5-prefix token hashes, per-bit majority votes)
+    and finds hamming<=3 pairs by brute force."""
     return simhash_neardup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -341,6 +353,138 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "sessionize": q_sessionize,
 }
+
+
+# shared CTE: distinct (doc_id, 3-token shingle) pairs — identical to
+# operators.dedup.word_shingles
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END) AS shingle
+  FROM toks
+)"""
+
+
+def _ngram_jaccard_sql(threshold: float, max_df: int) -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+shc AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+  WHERE df <= {max_df}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shc a JOIN shc b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
+"""
+
+
+def _minhash_lsh_sql(num_perm: int = 32, threshold: float = 0.8, seed: int = 42) -> str:
+    """Full-pipeline MinHash-LSH oracle: identical md5-prefix hashes,
+    identical (a*h+b) mod p minima (coefficients interpolated as literals
+    from the same seeded generator the Spark plan uses), identical 2-row
+    band packing, then candidate-only exact-Jaccard verification."""
+    from crawling_infrastructure_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+        tune_bands,
+    )
+
+    a, b = minhash_coeffs(num_perm, seed)
+    bands, rows = tune_bands(num_perm, threshold)
+    assert rows in (1, 2), "SQL oracle supports the r<=2 packed band keys"
+    mins = ",\n         ".join(
+        f"min(({a[j]} * h + {b[j]}) % {MINHASH_P}) AS m{j}" for j in range(num_perm)
+    )
+    if rows == 1:
+        band_structs = ", ".join(
+            f"struct_pack(band := {i}, bh := m{i})" for i in range(bands)
+        )
+    else:
+        band_structs = ", ".join(
+            f"struct_pack(band := {i}, bh := m{2 * i} * {1 << 31} + m{2 * i + 1})"
+            for i in range(bands)
+        )
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, s.band AS band, s.bh AS bh
+  FROM sig, unnest([{band_structs}]) AS u(s)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT doc_a, doc_b, count(*) AS shared
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
+"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """SimHash oracle: 60-bit fingerprints from md5-prefix token hashes with
+    per-bit majority votes, then brute-force hamming pairs (the Spark side
+    uses pigeonhole equi-joins; at oracle scale brute force is exact and
+    cheap)."""
+    from crawling_infrastructure_spark.operators.dedup import SIMHASH_BITS
+
+    counts = ",\n         ".join(
+        f"sum((h >> {i}) & 1::BIGINT) AS c{i}" for i in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN c{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+votes AS (
+  SELECT doc_id, count(*) AS n,
+         {counts}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp_terms} AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 def _lang_id_sql() -> str:
@@ -457,29 +601,9 @@ FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10
 SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """,
-    "dedup_ngram_jaccard": """
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, unnest(
-    CASE WHEN len(t) >= 3
-         THEN list_transform(generate_series(1, len(t) - 2),
-                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-         ELSE [] END) AS shingle
-  FROM toks
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
-""",
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(threshold=0.3, max_df=100),
+    "dedup_minhash_lsh": _minhash_lsh_sql(num_perm=32, threshold=0.8, seed=42),
+    "dedup_simhash": _simhash_sql(max_hamming=3),
     "embedding_neardup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
