@@ -47,6 +47,10 @@ class TaskConfig:
     max_items_per_host_per_epoch: int = 30
     # longliving tasks never terminate on queue-drained — crawltask.model.ts:193-196
     longliving: bool = False
+    # F12/F13 adaptive feedback: derive each epoch's dequeue budget from the
+    # metrics table's trailing avg_items_per_second instead of the static
+    # token bucket (plans/adaptive.py; runner.ts:302-329 semantics)
+    adaptive_budget: bool = False
     # whether to honor robots.txt rules (north_rule addition; reference has none)
     respect_robots: bool = True
     # URL-seen dedup (reference permits duplicates — SURVEY.md S4/J3;

@@ -63,20 +63,24 @@ def _stratum_histogram(frontier: DataFrame, cap: int) -> list[tuple[int, int]]:
 
 
 def claim_batch(
-    frontier: DataFrame, cfg: TaskConfig, with_count: bool = False
+    frontier: DataFrame,
+    cfg: TaskConfig,
+    with_count: bool = False,
+    budget: int | None = None,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Select this epoch's crawl batch under the politeness budget.
 
     budget B = max_items_per_second x epoch_seconds (token bucket — the
-    Spark-native replacement for the reference's jittered sleeps F7 and
-    worker-count feedback loop F13); per-host cap = max_items_per_host_per_epoch.
+    Spark-native replacement for the reference's jittered sleeps F7), unless
+    an explicit ``budget`` is passed (the F12/F13 adaptive feedback loop,
+    plans/adaptive.py); per-host cap = max_items_per_host_per_epoch.
 
     ``with_count=True`` additionally returns the exact claimed-row count,
     already known from the histogram — callers (the epoch loop) skip a
     ``count()`` job on the result.
     """
     cap = cfg.max_items_per_host_per_epoch
-    budget = cfg.epoch_budget
+    budget = cfg.epoch_budget if budget is None else max(budget, 0)
     hist = _stratum_histogram(frontier, cap)
     # hosts_at_least[r] = number of hosts with >= r capped candidates
     # == size of host-rank stratum r

@@ -20,7 +20,8 @@ plan shape is unchanged.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections.abc import Callable
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,14 +44,41 @@ SIM_BYTES_PER_MS = 2048.0
 
 
 @dataclass
+class CrawlFunction:
+    """§2.10 user-UDF surface — the Spark stand-in for the reference's
+    posted ``function_code`` class (crawler/src/worker.ts:180-311, evaluated
+    at crawler/src/handler.ts:62): users override crawl-time behavior by
+    supplying plain Python callables that ride the fetch UDF's closure
+    (Arrow-batched; called once per item inside the vectorized batch).
+
+    hooks (reference analogue):
+      extract(html) -> text            worker.clean_html / http crawl body
+      outlinks(html) -> list[str]      worker.enqueue (the discovered items)
+      get_key(url) -> str              worker.getKey item id (F10 md5 id)
+
+    The re-enqueue predicate hook (queue.service.ts check function) is the
+    separate CrawlJob.reenqueue(predicate) surface — it runs over stored
+    results, not in the fetch path.
+    """
+
+    extract: Callable[[str], str] = field(default=clean_html)
+    outlinks: Callable[[str], list] = field(default=extract_links)
+    get_key: Callable[[str], str] = field(
+        default=lambda url: __import__("hashlib").md5(url.encode()).hexdigest()
+    )
+
+
+@dataclass
 class HermeticFetcher:
     """Network-free fetcher resolving against the synthetic corpus.
 
     ``outcome_fn(url, epoch) -> str`` injects deterministic failures.
+    ``func`` carries the user hook surface (CrawlFunction).
     """
 
     epoch: int
     outcome_fn: object = None  # callable (url, epoch) -> outcome str
+    func: CrawlFunction = field(default_factory=CrawlFunction)
 
     def outcome(self, url: str) -> str:
         if self.outcome_fn is None:
@@ -82,8 +110,9 @@ class HermeticFetcher:
                 status, delta, error = Status.FAILED, 1, "HTTPError: Response code 500"
             else:
                 h = bytes(html)
-                text = clean_html(h.decode("utf-8", errors="replace"))
-                links = extract_links(h.decode("utf-8", errors="replace"))
+                decoded = h.decode("utf-8", errors="replace")
+                text = self.func.extract(decoded)
+                links = self.func.outlinks(decoded)
                 nbytes = len(h)
             out["url"].append(row.url)
             out["url_hash"].append(row.url_hash)

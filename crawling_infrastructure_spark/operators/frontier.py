@@ -54,6 +54,17 @@ def frontier_rows(items: DataFrame, priority: int, epoch: int) -> DataFrame:
     )
 
 
+def assign_regions(rows: DataFrame, region_map: DataFrame) -> DataFrame:
+    """J2 region->bucket lookup (crawltask.service.ts:42-49 bucketByRegion +
+    the per-item region stamp crawl_queue.ts writes): broadcast-join a small
+    (host, region) map onto frontier rows at enqueue time; unmapped hosts
+    keep the default ''. The region column then routes storage placement
+    (the reference picks the S3 bucket per region)."""
+    m = region_map.select(F.col("host").alias("_rh"), F.col("region").alias("_rr"))
+    j = rows.join(F.broadcast(m), rows.host == F.col("_rh"), "left")
+    return j.withColumn("region", F.coalesce(F.col("_rr"), F.col("region"))).drop("_rh", "_rr")
+
+
 def merge_results(frontier: DataFrame, results: DataFrame) -> DataFrame:
     """Write-back of a crawl batch — U1 updateQueueNew
     (crawler/src/crawl_queue.ts:119-149): per claimed item set
@@ -115,6 +126,30 @@ def reenqueue_all_failed(frontier: DataFrame) -> DataFrame:
         .withColumn("error", F.when(failed, F.lit("")).otherwise(F.col("error")))
         .withColumn("region", F.when(failed, F.lit("")).otherwise(F.col("region")))
         .withColumn("status", F.when(failed, F.lit(Status.INITIAL)).otherwise(F.col("status")).cast("int"))
+    )
+
+
+def reenqueue_items(frontier: DataFrame, matched: DataFrame, key: str = "url_hash") -> DataFrame:
+    """U5 predicate re-enqueue — the write-back half of POST /enqueue
+    (master/src/services/queue.service.ts:106-180): items whose stored
+    result passed the user predicate get {status: initial, retries: 0,
+    crawled: null, error: ''} (the exact updateItems payload,
+    queue.service.ts:156-161). ``matched`` carries the keys; the predicate
+    itself runs upstream over the pages table (CrawlJob.reenqueue).
+
+    Works on any DataFrame carrying (key, status, retries, crawled, error) —
+    the registry query reuses it over driver tables. No broadcast hint: the
+    matched side is user-predicate-sized (possibly the whole corpus), AQE
+    picks the strategy."""
+    m = matched.select(F.col(key).alias("_m")).distinct()
+    j = frontier.join(m, frontier[key] == F.col("_m"), "left")
+    hit = F.col("_m").isNotNull()
+    return (
+        j.withColumn("status", F.when(hit, F.lit(Status.INITIAL)).otherwise(F.col("status")).cast("int"))
+        .withColumn("retries", F.when(hit, F.lit(0)).otherwise(F.col("retries")).cast("int"))
+        .withColumn("crawled", F.when(hit, F.lit(None).cast("timestamp")).otherwise(F.col("crawled")))
+        .withColumn("error", F.when(hit, F.lit("")).otherwise(F.col("error")))
+        .drop("_m")
     )
 
 

@@ -39,16 +39,24 @@ from pyspark.sql import functions as F
 from crawling_infrastructure_spark.catalog import Catalog
 from crawling_infrastructure_spark.config import TaskConfig
 from crawling_infrastructure_spark.operators.claim import claim_batch, mark_running
-from crawling_infrastructure_spark.operators.fetch import HermeticFetcher, fetch_batch
+from crawling_infrastructure_spark.operators.fetch import (
+    CrawlFunction,
+    HermeticFetcher,
+    fetch_batch,
+)
+from crawling_infrastructure_spark.functions.url import host_col, url_hash_col
 from crawling_infrastructure_spark.operators.frontier import (
     FRONTIER_COLS,
+    assign_regions,
     frontier_rows,
     merge_results,
     reenqueue_failed,
+    reenqueue_items,
     reset_running,
     task_finished,
 )
 from crawling_infrastructure_spark.operators.metrics import epoch_metrics
+from crawling_infrastructure_spark.plans.adaptive import adaptive_epoch_budget
 from crawling_infrastructure_spark.operators.robots import RobotsCache, filter_allowed
 from crawling_infrastructure_spark.operators.seen import (
     build_seen,
@@ -80,12 +88,18 @@ class CrawlJob:
         outcome_fn=None,
         robots: RobotsCache | None = None,
         claim_snapshot: bool = True,
+        crawl_fn: CrawlFunction | None = None,
+        region_map: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.corpus = corpus
         self.outcome_fn = outcome_fn
         self.robots = robots or RobotsCache({})
+        # §2.10 user hook surface (extract/outlinks/get_key)
+        self.crawl_fn = crawl_fn or CrawlFunction()
+        # J2: optional small (host, region) lookup stamped at enqueue time
+        self.region_map = region_map
         # claim_snapshot=True commits the initial->running transition as its
         # own snapshot (observable intermediate state, exact kill-resume
         # parity with the reference's claim; costs one extra dirty-bucket
@@ -107,6 +121,8 @@ class CrawlJob:
     def init_task(self, seeds: DataFrame) -> int:
         """Seed the frontier (S1-S4) + build the seen set. Returns row count."""
         rows = frontier_rows(seeds, self.cfg.priority, epoch=0)
+        if self.region_map is not None:
+            rows = assign_regions(rows, self.region_map)
         if self.cfg.respect_robots:
             rows = filter_allowed(rows, self.spark, self.robots)
         self.frontier_t.write_full(rows, tag="epoch-0")
@@ -133,6 +149,39 @@ class CrawlJob:
         ]
         return max(int(t.split("-")[1]) for t in tags) if tags else 0
 
+    def reenqueue(self, predicate, dryrun: bool = False) -> int:
+        """U5 POST /enqueue (queue.service.ts:106-180): evaluate ``predicate``
+        (a pyspark Column / SQL string over the pages columns url, warc_ts,
+        html, text, lang) against every stored result and flip matching
+        items back to initial with retries reset. The reference downloads +
+        inflates every result file and evals user JS per file; here the
+        predicate is a Catalyst expression over the columnar pages table and
+        the write-back is a dirty-bucket merge — O(matched), not O(frontier).
+        dryrun=True (the API's default) only counts. Returns matched count."""
+        pages = self.pages_t.read(self.spark)
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
+        matched = (
+            pages.filter(predicate)
+            .select(
+                url_hash_col(F.col("url")).alias("url_hash"),
+                F.xxhash64(host_col(F.col("url"))).alias("host_hash"),
+            )
+            .distinct()
+            .cache()
+        )
+        n = matched.count()
+        if dryrun or n == 0:
+            matched.unpersist()
+            return n
+        dirty = self.frontier_t.bucket_ids_of(matched)
+        fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
+        self.frontier_t.merge_buckets(
+            reenqueue_items(fdirty, matched), dirty, tag="reenqueue"
+        )
+        matched.unpersist()
+        return n
+
     # -- seen-set maintenance ----------------------------------------------
     def _fold_into_seen(self, new_hashes: DataFrame, tag: str) -> None:
         """Fold url_hashes into the sharded blooms, rewriting only the blobs
@@ -147,12 +196,35 @@ class CrawlJob:
             tag=tag,
         )
 
+    def _adaptive_budget(self) -> int:
+        """F12/F13: this epoch's dequeue budget from trailing measured
+        throughput. Only (count, mean) of the metrics table's
+        avg_items_per_second reach the driver."""
+        n, avg = 0, None
+        if self.metrics_t.exists():
+            row = (
+                self.metrics_t.read(self.spark)
+                .agg(
+                    F.count("avg_items_per_second").alias("n"),
+                    F.avg("avg_items_per_second").alias("avg"),
+                )
+                .collect()[0]
+            )
+            n = int(row["n"] or 0)
+            avg = float(row["avg"]) if row["avg"] is not None else None
+        return adaptive_epoch_budget(
+            n, avg, self.cfg.max_items_per_second, self.cfg.max_items_per_worker
+        )
+
     # -- one epoch ----------------------------------------------------------
     def run_epoch(self, epoch: int) -> EpochStats:
         stats = EpochStats(epoch=epoch)
         frontier = self.frontier_t.read(self.spark)
 
-        claimed, stats.claimed = claim_batch(frontier, self.cfg, with_count=True)
+        budget = self._adaptive_budget() if self.cfg.adaptive_budget else None
+        claimed, stats.claimed = claim_batch(
+            frontier, self.cfg, with_count=True, budget=budget
+        )
         if stats.claimed == 0:
             stats.finished = not self.cfg.longliving
             return stats
@@ -165,7 +237,7 @@ class CrawlJob:
                 mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
             )
 
-        fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn)
+        fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn)
         results = fetch_batch(claimed, self.corpus, fetcher).cache()
 
         # 6-first: metrics lineage doubles as the epoch stats source — one
@@ -193,6 +265,8 @@ class CrawlJob:
         outlinks = results.select(F.explode("outlinks").alias("item"))
         scratch: list = []
         candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
+        if self.region_map is not None:
+            candidates = assign_regions(candidates, self.region_map)
         if self.cfg.respect_robots:
             candidates = filter_allowed(candidates, self.spark, self.robots)
         if self.cfg.dedup and self.cfg.bloom_prefilter:

@@ -111,6 +111,61 @@ def q_ranked_dequeue(spark, sf_dir):
     )
 
 
+def q_reenqueue_predicate(spark, sf_dir):
+    """U5 POST /enqueue re-enqueue-by-predicate (queue.service.ts:106-180):
+    completed items whose stored result fails a user check flip back to
+    initial with retries reset. Here: events as the queue (status =
+    event_id%4, retries = user_id%5), predicate = value < 0.5; the output is
+    the post-re-enqueue per-status (count, retry-sum) profile, which pins
+    both the status flip AND the retries/crawled/error reset."""
+    from crawling_infrastructure_spark.operators.frontier import reenqueue_items
+
+    e = _status(_t(spark, sf_dir, "events")).withColumn(
+        "retries", F.pmod(F.col("user_id"), F.lit(5)).cast("int")
+    )
+    f = e.select(
+        F.col("event_id").alias("url_hash"),
+        "status",
+        "retries",
+        F.col("ts").cast("timestamp").alias("crawled"),
+        F.lit("e").alias("error"),
+        "value",
+    )
+    matched = f.filter((F.col("status") == 2) & (F.col("value") < 0.5)).select("url_hash")
+    out = reenqueue_items(f, matched)
+    return (
+        out.groupBy("status")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(F.when(F.col("retries") == 0, 1)).alias("zero_retries"),
+            F.count("crawled").alias("with_crawled"),
+        )
+        .orderBy("status")
+    )
+
+
+def q_last_finished(spark, sf_dir):
+    """W4 getLastFinishedWorker (workermeta.model.ts) — max(ended) top-1
+    with deterministic tie-break."""
+    e = _status(_t(spark, sf_dir, "events")).filter(F.col("status") == 2)
+    return (
+        e.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(1)
+        .select("user_id", "event_id", F.unix_timestamp("ts").alias("epoch_s"))
+    )
+
+
+def q_unique_visitors(spark, sf_dir):
+    """A8 unique-IP style distinct count (stats.service.ts unique counts)
+    per event_type — partial-agg'd distinct."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("uniq_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_worker_meta_stats(spark, sf_dir):
     """A7 getWorkerMetaStatistics — per-worker aggregates
     (workermeta.model.ts:78-117); user_id plays worker_id."""
@@ -330,6 +385,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "progress_windows": q_progress_windows,
     "recent_completed": q_recent_completed,
     "ranked_dequeue": q_ranked_dequeue,
+    "reenqueue_predicate": q_reenqueue_predicate,
+    "last_finished": q_last_finished,
+    "unique_visitors": q_unique_visitors,
     "worker_meta_stats": q_worker_meta_stats,
     "id_mapping_join": q_id_mapping_join,
     "anti_join_unseen": q_anti_join_unseen,
@@ -552,6 +610,34 @@ SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events) WHERE rn <= 3
+""",
+    "reenqueue_predicate": """
+WITH q AS (
+  SELECT event_id,
+         CAST(event_id % 4 AS INTEGER) AS status0,
+         CAST(user_id % 5 AS INTEGER) AS retries0,
+         value,
+         (event_id % 4 = 2 AND value < 0.5) AS hit
+  FROM events
+),
+f AS (
+  SELECT CASE WHEN hit THEN 0 ELSE status0 END AS status,
+         CASE WHEN hit THEN 0 ELSE retries0 END AS retries,
+         CASE WHEN hit THEN NULL ELSE 1 END AS crawled
+  FROM q
+)
+SELECT status, count(*) AS cnt,
+       count(CASE WHEN retries = 0 THEN 1 END) AS zero_retries,
+       count(crawled) AS with_crawled
+FROM f GROUP BY status ORDER BY status
+""",
+    "last_finished": """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+FROM events WHERE event_id % 4 = 2 ORDER BY ts DESC, event_id LIMIT 1
+""",
+    "unique_visitors": """
+SELECT event_type, count(DISTINCT user_id) AS uniq_users
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     "worker_meta_stats": """
 SELECT user_id, count(*) AS n,

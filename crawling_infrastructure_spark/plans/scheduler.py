@@ -29,6 +29,7 @@ from crawling_infrastructure_spark.plans.epoch import CrawlJob, EpochStats
 class ScheduledTask:
     job: CrawlJob
     finished: bool = False
+    paused: bool = False
     epoch: int = 0
     history: list[EpochStats] = field(default_factory=list)
 
@@ -39,8 +40,27 @@ class MultiTaskScheduler:
         self.policy = policy
         self.tasks = [ScheduledTask(job=j) for j in jobs]
 
+    def _task(self, task_id: str) -> ScheduledTask:
+        for t in self.tasks:
+            if t.job.cfg.task_id == task_id:
+                return t
+        raise KeyError(task_id)
+
+    # U6 pause/resume — CrawlStatus started <-> paused
+    # (crawltask.service.ts:178-206; daemon.ts:350-353 skips non-started)
+    def pause(self, task_id: str | None = None) -> None:
+        """Pause one task, or every started task (pauseTasks semantics)."""
+        for t in self.tasks if task_id is None else [self._task(task_id)]:
+            if not t.finished:
+                t.paused = True
+
+    def resume(self, task_id: str | None = None) -> None:
+        """paused -> started (resumeTasks semantics)."""
+        for t in self.tasks if task_id is None else [self._task(task_id)]:
+            t.paused = False
+
     def _runnable(self) -> list[ScheduledTask]:
-        return [t for t in self.tasks if not t.finished]
+        return [t for t in self.tasks if not t.finished and not t.paused]
 
     def _scheduled_this_cycle(self) -> list[tuple[ScheduledTask, float]]:
         """(task, budget_share) pairs for one cycle under the policy."""
