@@ -229,9 +229,9 @@ class CrawlJob:
             stats.finished = not self.cfg.longliving
             return stats
         claimed = claimed.cache()
-        dirty_claim = self.frontier_t.bucket_ids_of(claimed)
-
+        dirty_claim: list[int] | None = None
         if self.claim_snapshot:
+            dirty_claim = self.frontier_t.bucket_ids_of(claimed)
             fdirty = self.frontier_t.read_buckets(self.spark, dirty_claim, FRONTIER_SCHEMA)
             self.frontier_t.merge_buckets(
                 mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
@@ -298,8 +298,15 @@ class CrawlJob:
         # 4. status write-back + retryable-failed re-enqueue + new-row
         # admission, all in ONE dirty-bucket merge: buckets holding claimed
         # rows get results merged in, buckets receiving new rows get them
-        # appended, every other bucket is carried over by reference.
-        dirty = sorted(set(dirty_claim) | set(self.frontier_t.bucket_ids_of(new_rows)))
+        # appended, every other bucket is carried over by reference. The
+        # dirty set comes from one collect over both cached inputs (two
+        # when the claim snapshot already needed its own).
+        if dirty_claim is None:
+            dirty = self.frontier_t.bucket_ids_of(
+                claimed.select("host_hash").unionByName(new_rows.select("host_hash"))
+            )
+        else:
+            dirty = sorted(set(dirty_claim) | set(self.frontier_t.bucket_ids_of(new_rows)))
         fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
         merged_dirty = reenqueue_failed(
             merge_results(fdirty, results), self.cfg.retry_failed_items

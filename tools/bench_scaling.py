@@ -47,6 +47,20 @@ def gen_corpus() -> None:
     spark.stop()
 
 
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 900) -> float:
+    """Block until the 1-min load average drops below max_load (shared host:
+    tenant bursts of 5-27 invert measurements) or the timeout passes."""
+    import time
+
+    t0 = time.time()
+    while True:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < max_load or time.time() - t0 > timeout_s:
+            return load
+        print(f"load {load} >= {max_load}, waiting...", file=sys.stderr)
+        time.sleep(20)
+
+
 def run_once(cpus: int) -> dict:
     env = dict(
         os.environ,
@@ -55,7 +69,7 @@ def run_once(cpus: int) -> dict:
         SPARK_GRAFT_CRAWL_PAGES=str(N_PAGES),
         SPARK_GRAFT_CORPUS=CORPUS,
     )
-    load_before = open("/proc/loadavg").read().split()[0]
+    load_before = wait_for_quiet()
     out = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True, text=True, env=env,
@@ -69,36 +83,43 @@ def run_once(cpus: int) -> dict:
     return res
 
 
-def run_trials() -> tuple[dict, dict]:
+def run_trials() -> tuple[dict, dict, list[dict]]:
     """Interleave levels (A/B/A/B...) so slow background-load drift hits both
     levels equally; best wall per level (least interference)."""
     best: dict[int, dict] = {}
+    all_trials: list[dict] = []
     for _ in range(TRIALS):
         for cpus in LEVELS:
             r = run_once(cpus)
+            all_trials.append(r)
             if cpus not in best or r["wall_sec"] < best[cpus]["wall_sec"]:
                 best[cpus] = r
-    return best[LEVELS[0]], best[LEVELS[1]]
+    return best[LEVELS[0]], best[LEVELS[1]], all_trials
 
 
 def main() -> None:
     gen_corpus()
-    lo, hi = run_trials()
+    lo, hi, all_trials = run_trials()
     eff_pages = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4
     eff_urls = (hi["dedup_urls_per_sec"] / lo["dedup_urls_per_sec"]) / 4
     report = f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
-Same job (claim-all crawl epoch: window-ranked claim, mapInPandas
-fetch/extract, exact outlink dedup, pages/frontier/metrics snapshot writes)
-on IDENTICAL input: {N_PAGES} synthetic Common-Crawl-style pages
-(weight={WEIGHT}, ~10-30 KB HTML each, Zipf hosts), pre-generated at
-`{CORPUS}`. Fresh JVM per level, best of {TRIALS} trials (host shows
-intermittent background load).
+Same job (one steady-state claim-all crawl epoch: window-ranked claim,
+mapInPandas fetch/extract, exact outlink dedup, dirty-bucket frontier merge,
+pages/metrics snapshot writes) on IDENTICAL input: {N_PAGES} synthetic
+Common-Crawl-style pages (weight={WEIGHT}, ~10-30 KB HTML each, Zipf hosts),
+pre-generated at `{CORPUS}`. Fresh JVM per level, best of {TRIALS}
+interleaved trials; each trial waits for 1-min load < 3 before starting
+(shared host — tenant bursts of 5-27 otherwise invert measurements).
+One-time task setup (init_task: seed canonicalization + first frontier
+write) is reported separately — the north-rule metric is crawl-LOOP
+throughput, and at a 10^10-URL frontier init happens once per task, not per
+epoch.
 
-| parallelism | wall (s) | pages crawled | pages/s | dedup URLs/s |
-|---|---|---|---|---|
-| local[{lo['cpus']}]  (N)  | {lo['wall_sec']} | {lo['pages_crawled']} | {lo['pages_per_sec']} | {lo['dedup_urls_per_sec']} |
-| local[{hi['cpus']}] (4N) | {hi['wall_sec']} | {hi['pages_crawled']} | {hi['pages_per_sec']} | {hi['dedup_urls_per_sec']} |
+| parallelism | epoch wall (s) | init (s) | pages crawled | pages/s | dedup URLs/s | load_before |
+|---|---|---|---|---|---|---|
+| local[{lo['cpus']}]  (N)  | {lo['wall_sec']} | {lo.get('init_sec', '-')} | {lo['pages_crawled']} | {lo['pages_per_sec']} | {lo['dedup_urls_per_sec']} | {lo['load_before']} |
+| local[{hi['cpus']}] (4N) | {hi['wall_sec']} | {hi.get('init_sec', '-')} | {hi['pages_crawled']} | {hi['pages_per_sec']} | {hi['dedup_urls_per_sec']} | {hi['load_before']} |
 
 **Scaling efficiency (pages/s): {eff_pages:.2f}** — (thr_4N / thr_N) / 4
 **Scaling efficiency (dedup URLs/s): {eff_urls:.2f}**
@@ -112,6 +133,9 @@ extraction, dedup, and snapshot persistence.
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(report)
+    with open("BENCH/scaling_trials.json", "w") as f:
+        json.dump({"trials": all_trials, "eff_pages": round(eff_pages, 3),
+                   "eff_urls": round(eff_urls, 3)}, f, indent=1)
     print(report)
     print(json.dumps({"lo": lo, "hi": hi, "eff_pages": round(eff_pages, 3), "eff_urls": round(eff_urls, 3)}))
 
