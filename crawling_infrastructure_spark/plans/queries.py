@@ -34,7 +34,10 @@ from crawling_infrastructure_spark.operators.dedup import (
     simhash_neardup_pairs,
 )
 from crawling_infrastructure_spark.operators.multimodal import extract_media_features
-from crawling_infrastructure_spark.operators.similarity import cosine_topk_bruteforce
+from crawling_infrastructure_spark.operators.similarity import (
+    cosine_topk_blocked,
+    cosine_topk_bruteforce,
+)
 from crawling_infrastructure_spark.operators.textstats import (
     LANG_MARKERS,
     STOPWORDS,
@@ -322,6 +325,16 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(qs, e, k=5)
 
 
+def q_ann_cosine_topk_blocked(spark, sf_dir):
+    """IVF-style scale path: candidates restricted to the query's coarse
+    bucket (label = the stand-in for a k-means cell id), equi-join instead
+    of cross join. Recall < 1 by construction vs the bruteforce ground
+    truth; the oracle applies the identical block restriction."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_blocked(qs, e, k=5, block_col="label")
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
@@ -403,6 +416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_blocked": q_ann_cosine_topk_blocked,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -705,6 +719,18 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
            ORDER BY round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) DESC, b.vec_id
          ) AS rank
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 20)
+WHERE rank <= 5
+""",
+    "ann_cosine_topk_blocked": """
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) DESC, b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
   WHERE a.vec_id < 20)
 WHERE rank <= 5
 """,

@@ -1,0 +1,85 @@
+"""O(batch) write-back evidence: with a CONSTANT claim budget, epoch wall
+must stay ~flat while the frontier grows 10x — the property the bucketed
+frontier (catalog.BucketedTable.merge_buckets) exists to provide. Round-1's
+full-snapshot rewrite made epoch wall O(frontier); this tool demonstrates
+the fix empirically.
+
+Remaining frontier-size-dependent work per epoch is READ-side only (the
+claim's pushed-down initial-status scan and the outlink anti-join probe),
+which parallelizes; the WRITE side touches only dirty buckets.
+
+Usage: python tools/bench_obatch.py  -> one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZES = [int(x) for x in os.environ.get("SPARK_GRAFT_OBATCH_SIZES", "50000,500000").split(",")]
+BUDGET = int(os.environ.get("SPARK_GRAFT_OBATCH_BUDGET", "2000"))
+EPOCHS = int(os.environ.get("SPARK_GRAFT_OBATCH_EPOCHS", "3"))
+
+
+def run_size(spark, corpus, n_frontier: int) -> dict:
+    from crawling_infrastructure_spark.config import TaskConfig
+    from crawling_infrastructure_spark.plans.epoch import CrawlJob
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="obatch_")
+    cfg = TaskConfig(
+        task_id=f"ob{n_frontier}",
+        max_items_per_second=200.0,
+        epoch_seconds=BUDGET / 200.0,
+        max_items_per_host_per_epoch=BUDGET,
+        retry_failed_items=1,
+        bloom_prefilter=False,
+    )
+    job = CrawlJob(spark, root, corpus, cfg, claim_snapshot=False)
+    # n_frontier URLs spread over 1000 hosts; most resolve to nothing (the
+    # epoch cost under test is claim+write-back, not extraction)
+    seeds = spark.range(n_frontier).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 1000).cast("string"),
+            F.lit(".example/p"), F.col("id").cast("string"),
+        ).alias("item")
+    )
+    job.init_task(seeds)
+    walls = []
+    for e in range(1, EPOCHS + 1):
+        t0 = time.time()
+        s = job.run_epoch(e)
+        walls.append(round(time.time() - t0, 2))
+        assert s.claimed == BUDGET, (s.claimed, BUDGET)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"frontier_rows": n_frontier, "claim": BUDGET, "epoch_walls": walls,
+            "best_epoch_wall": min(walls)}
+
+
+def main() -> None:
+    from crawling_infrastructure_spark.session import get_spark
+    from crawling_infrastructure_spark.synth import gen_pages
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark(app_name="obatch", cpus=cpus)
+    corpus = gen_pages(spark, 2000, 50).cache()
+    corpus.count()
+    load = open("/proc/loadavg").read().split()[0]
+    results = [run_size(spark, corpus, n) for n in SIZES]
+    ratio = results[-1]["best_epoch_wall"] / results[0]["best_epoch_wall"]
+    growth = SIZES[-1] / SIZES[0]
+    print(json.dumps({
+        "cpus": cpus, "load_before": float(load), "results": results,
+        "frontier_growth": growth, "epoch_wall_ratio": round(ratio, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
