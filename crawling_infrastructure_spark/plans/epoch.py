@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from crawling_infrastructure_spark.catalog import Catalog
 from crawling_infrastructure_spark.config import TaskConfig
@@ -238,11 +239,25 @@ class CrawlJob:
             )
 
         fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn)
-        results = fetch_batch(claimed, self.corpus, fetcher).cache()
+        # DISK_ONLY: the fetch output carries the raw html + extracted text
+        # (tens of KB/row — an epoch batch can be 10s of GB); an in-memory
+        # cache silently evicts under that volume and every downstream
+        # consumer re-runs the Python fetch (measured: 3x re-execution, the
+        # round-2 200k-page profile's 2 biggest line items). Spilling the
+        # one expensive pass to local disk guarantees exactly-one execution;
+        # the small columns the merge/growth/metrics steps need are a
+        # separate in-memory cache (~KB/row).
+        results = fetch_batch(claimed, self.corpus, fetcher).persist(
+            StorageLevel.DISK_ONLY
+        )
+        light = results.select(
+            "url", "url_hash", "host", "status", "retries_delta", "error",
+            "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
+        ).cache()
 
         # 6-first: metrics lineage doubles as the epoch stats source — one
         # pass over results instead of a separate agg job
-        metrics = epoch_metrics(results, epoch).cache()
+        metrics = epoch_metrics(light, epoch).cache()
         agg = metrics.agg(
             F.sum("completed"), F.sum("failed"), F.sum("blocked"), F.sum("bytes_fetched")
         ).collect()[0]
@@ -262,7 +277,7 @@ class CrawlJob:
         # 5. frontier growth: outlinks -> dedup -> new initial rows. The
         # anti-join target is the pre-merge frontier snapshot — the merge
         # only changes statuses, never the url_hash set.
-        outlinks = results.select(F.explode("outlinks").alias("item"))
+        outlinks = light.select(F.explode("outlinks").alias("item"))
         scratch: list = []
         candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
         if self.region_map is not None:
@@ -309,7 +324,7 @@ class CrawlJob:
             dirty = sorted(set(dirty_claim) | set(self.frontier_t.bucket_ids_of(new_rows)))
         fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
         merged_dirty = reenqueue_failed(
-            merge_results(fdirty, results), self.cfg.retry_failed_items
+            merge_results(fdirty, light), self.cfg.retry_failed_items
         )
         self.frontier_t.merge_buckets(
             merged_dirty.unionByName(new_rows.select(*FRONTIER_COLS)),
@@ -320,6 +335,7 @@ class CrawlJob:
             self._fold_into_seen(new_rows.select("url_hash"), tag=f"epoch-{epoch}")
 
         claimed.unpersist()
+        light.unpersist()
         results.unpersist()
         new_rows.unpersist()
         for df in scratch:

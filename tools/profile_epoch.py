@@ -69,16 +69,22 @@ def main() -> None:
     )
     claimed = claimed.cache()
     dirty = tick("dirty_claim_buckets", lambda: job.frontier_t.bucket_ids_of(claimed))
+    from pyspark.storagelevel import StorageLevel
+
     fetcher = HermeticFetcher(epoch=1, outcome_fn=fetch_outcome)
-    results = fetch_batch(claimed, corpus, fetcher).cache()
-    metrics = epoch_metrics(results, 1).cache()
+    results = fetch_batch(claimed, corpus, fetcher).persist(StorageLevel.DISK_ONLY)
+    light = results.select(
+        "url", "url_hash", "host", "status", "retries_delta", "error",
+        "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
+    ).cache()
+    metrics = epoch_metrics(light, 1).cache()
     tick("fetch+metrics_agg", lambda: metrics.agg(F.sum("completed")).collect())
     tick("metrics_append", lambda: job.metrics_t.append(metrics, tag="e1"))
     pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
         "url", "warc_ts", "html", "text", "lang"
     )
     tick("pages_append", lambda: job.pages_t.append(pages_rows, tag="e1"))
-    outlinks = results.select(F.explode("outlinks").alias("item"))
+    outlinks = light.select(F.explode("outlinks").alias("item"))
     candidates = frontier_rows(outlinks, 1, epoch=1)
     new_rows = candidates.join(frontier.select("url_hash"), "url_hash", "left_anti").cache()
     tick("grow_dedup_count", lambda: new_rows.count())
@@ -87,7 +93,7 @@ def main() -> None:
         lambda: sorted(set(dirty) | set(job.frontier_t.bucket_ids_of(new_rows))),
     )
     fdirty = job.frontier_t.read_buckets(spark, dirty_all, FRONTIER_SCHEMA)
-    merged = reenqueue_failed(merge_results(fdirty, results), 1)
+    merged = reenqueue_failed(merge_results(fdirty, light), 1)
     tick(
         "frontier_merge_write",
         lambda: job.frontier_t.merge_buckets(
