@@ -42,6 +42,10 @@ def get_spark(
         # at 32 cores than 8). 1024 records ~= 30 MB keeps workers in cache.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # the epoch persists its heavy fetch output DISK_ONLY (plans/epoch.py);
+        # compressing those blocks (lz4) trades serial disk bandwidth for
+        # parallel CPU — the right side of the trade at every cluster size
+        .config("spark.rdd.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic runs: never rely on wall clock or unseeded rand

@@ -64,3 +64,35 @@ def test_canonicalize_idempotent():
         one = canonicalize_url(c)
         if one is not None:
             assert canonicalize_url(one) == one
+
+
+def test_format_bytes_matches_reference_js():
+    # oracle values computed by hand from helpers.ts:96-106 semantics
+    from crawling_infrastructure_spark.functions.format import format_bytes
+
+    assert format_bytes(0) == "0 Bytes"
+    assert format_bytes(1) == "1 Bytes"
+    assert format_bytes(1023) == "1023 Bytes"
+    assert format_bytes(1024) == "1 KB"           # parseFloat drops .00
+    assert format_bytes(1536) == "1.5 KB"
+    assert format_bytes(1024 ** 2 * 2.345) == "2.35 MB"
+    assert format_bytes(1024 ** 3) == "1 GB"
+    assert format_bytes(1536, decimals=0) == "2 KB"  # toFixed(0) rounds
+
+
+def test_time_format_matches_reference_js(spark):
+    from pyspark.sql import functions as F
+
+    from crawling_infrastructure_spark.functions.format import time_format, time_format_col
+
+    cases = [0, 999, 1000, 61_000, 3_661_000, 90_061_000, 123_456_789]
+    for ms in cases:
+        d = time_format(ms)
+        assert 0 <= d["seconds"] < 60 and 0 <= d["minute"] < 60 and 0 <= d["hour"] < 24
+        total = ((d["day"] * 24 + d["hour"]) * 60 + d["minute"]) * 60 + d["seconds"]
+        assert total == ms // 1000
+    # column form agrees with the pure function
+    df = spark.createDataFrame([(ms,) for ms in cases], ["ms"])
+    rows = df.select("ms", time_format_col(F.col("ms")).alias("t")).collect()
+    for r in rows:
+        assert r["t"].asDict() == time_format(r["ms"])
