@@ -86,58 +86,79 @@ class HermeticFetcher:
         return self.outcome_fn(url, self.epoch)
 
     def fetch_group(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        """One host-group batch: claimed rows pre-joined with corpus html.
-        Columns in: url, url_hash, host, retries, warc_ts, html, lang."""
-        out = {k: [] for k in (
-            "url", "url_hash", "host", "status", "retries_delta", "error",
-            "html", "text", "lang", "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
-        )}
-        for row in pdf.itertuples(index=False):
-            html = row.html
-            outcome = self.outcome(row.url)
-            status, delta, error = Status.COMPLETED, 1, ""
-            text, links, nbytes = None, None, 0
+        """One Arrow batch: claimed rows pre-joined with corpus html.
+        Columns in: url, url_hash, host, retries, warc_ts, html, lang.
+
+        Column-wise construction (one local list per output column, single
+        zip loop over plain python lists): at 0.04 ms/page of actual regex
+        work, itertuples + dict-indexed appends were a measurable fraction
+        of the stage. The html bytes are consumed here (extract/outlinks)
+        and NOT re-emitted — see FETCH_RESULT_SCHEMA."""
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        langs = pdf["lang"].tolist()
+        n = len(urls)
+        status_o = [Status.COMPLETED] * n
+        delta_o = [1] * n
+        error_o = [""] * n
+        text_o: list = [None] * n
+        lang_o: list = [None] * n
+        links_o: list = [None] * n
+        nbytes_o = [0] * n
+        extract, outlinks = self.func.extract, self.func.outlinks
+        for i, (url, html) in enumerate(zip(urls, htmls)):
+            outcome = self.outcome(url)
             if html is None:
                 # URL not in corpus == connection error; consumes a retry
-                status, delta, error = Status.FAILED, 1, "RequestError: getaddrinfo ENOTFOUND"
+                status_o[i], error_o[i] = Status.FAILED, "RequestError: getaddrinfo ENOTFOUND"
             elif outcome == OUTCOME_BLOCKED:
                 # blocked != failed attempt: retries incremented then
                 # decremented (handler.ts:108 + 171-176) -> net 0
-                status, delta, error = Status.FAILED, 0, "blocked: status code 403"
+                status_o[i], delta_o[i], error_o[i] = Status.FAILED, 0, "blocked: status code 403"
             elif outcome == OUTCOME_TIMEOUT:
-                status, delta, error = Status.FAILED, 1, "TimeoutError: Timeout awaiting 'request'"
+                status_o[i], error_o[i] = Status.FAILED, "TimeoutError: Timeout awaiting 'request'"
             elif outcome == OUTCOME_HTTP500:
-                status, delta, error = Status.FAILED, 1, "HTTPError: Response code 500"
+                status_o[i], error_o[i] = Status.FAILED, "HTTPError: Response code 500"
             else:
                 h = bytes(html)
                 decoded = h.decode("utf-8", errors="replace")
-                text = self.func.extract(decoded)
-                links = self.func.outlinks(decoded)
-                nbytes = len(h)
-            out["url"].append(row.url)
-            out["url_hash"].append(row.url_hash)
-            out["host"].append(row.host)
-            out["status"].append(status)
-            out["retries_delta"].append(delta)
-            out["error"].append(error)
-            out["html"].append(html if status == Status.COMPLETED else None)
-            out["text"].append(text)
-            out["lang"].append(row.lang if status == Status.COMPLETED else None)
-            out["warc_ts"].append(row.warc_ts)
-            out["outlinks"].append(links)
-            out["bytes_fetched"].append(nbytes)
-            out["elapsed_ms"].append(nbytes / SIM_BYTES_PER_MS + 1.0)
-        return pd.DataFrame(out)
+                text_o[i] = extract(decoded)
+                links_o[i] = outlinks(decoded)
+                lang_o[i] = langs[i]
+                nbytes_o[i] = len(h)
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "url_hash": pdf["url_hash"].to_numpy(),
+                "host": pdf["host"].tolist(),
+                "status": status_o,
+                "retries_delta": delta_o,
+                "error": error_o,
+                "text": text_o,
+                "lang": lang_o,
+                "warc_ts": pdf["warc_ts"].tolist(),
+                "outlinks": links_o,
+                "bytes_fetched": nbytes_o,
+                "elapsed_ms": [b / SIM_BYTES_PER_MS + 1.0 for b in nbytes_o],
+            }
+        )
 
 
 def resolve_against_corpus(claimed: DataFrame, corpus: DataFrame) -> DataFrame:
-    """Attach corpus html to the claimed batch WITHOUT shuffling the corpus:
-    inner join with the broadcast (budget-bounded) claimed side, then add
-    back corpus-misses via a broadcast anti-join. Both joins are map-side."""
+    """Attach corpus html to the claimed batch: inner join on the claimed
+    side, plus corpus-misses via an anti-join.
+
+    Join strategy is deliberately left to AQE. A politeness-bounded epoch
+    claims a tiny fraction of the corpus, AQE sees the runtime size and
+    broadcasts the claimed side — the corpus is scanned map-side, never
+    shuffled. A claim-all backfill epoch (the bench shape) makes the claimed
+    side corpus-sized; a forced broadcast would then serialize a
+    100MB+ driver-side build (serial seconds that scale WITH the batch),
+    while AQE flips to a shuffle join whose cost parallelizes."""
     c = claimed.select("url", "url_hash", "host", "retries")
-    found = corpus.select("url", "warc_ts", "html", "lang").join(F.broadcast(c), "url", "inner")
+    found = corpus.select("url", "warc_ts", "html", "lang").join(c, "url", "inner")
     missing = c.join(
-        F.broadcast(found.select("url")), "url", "left_anti"
+        found.select("url"), "url", "left_anti"
     ).select(
         "url",
         F.lit(None).cast("timestamp").alias("warc_ts"),

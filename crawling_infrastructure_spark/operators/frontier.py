@@ -72,8 +72,11 @@ def merge_results(frontier: DataFrame, results: DataFrame) -> DataFrame:
 
     Parquet fallback for Iceberg ``MERGE INTO frontier USING results ON
     url_hash WHEN MATCHED THEN UPDATE``; with an Iceberg bucketed table only
-    the touched buckets rewrite. ``results`` is budget-bounded (<= epoch
-    budget) so it broadcasts — the frontier is never shuffled here.
+    the touched buckets rewrite. Both join sides are O(batch) — the frontier
+    side is pre-restricted to dirty buckets by the caller — so the strategy
+    is left to AQE: it broadcasts the results side when it is small and
+    falls back to a shuffle join when an epoch claims millions of rows
+    (a forced broadcast would serialize a budget-sized build on the driver).
 
     The results side is deduplicated per url_hash before the join: with
     cfg.dedup=False the frontier may hold duplicate url_hash rows, both
@@ -89,7 +92,7 @@ def merge_results(frontier: DataFrame, results: DataFrame) -> DataFrame:
         F.col("error").alias("r_error"),
         F.col("warc_ts").alias("r_crawled"),
     )
-    joined = frontier.join(F.broadcast(r), frontier.url_hash == r.r_hash, "left")
+    joined = frontier.join(r, frontier.url_hash == r.r_hash, "left")
     return joined.select(
         "url",
         "url_hash",

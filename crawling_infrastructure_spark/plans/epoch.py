@@ -268,8 +268,18 @@ class CrawlJob:
         self.metrics_t.append(metrics, tag=f"epoch-{epoch}")
         metrics.unpersist()
 
-        # 3. pages append — columnar write replaces N S3 puts (S6/S7)
-        pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
+        # 3. pages append — columnar write replaces N S3 puts (S6/S7). The
+        # raw html never rode through the Python fetch (FETCH_RESULT_SCHEMA
+        # note); it joins back from the corpus JVM-side: semi-prune the
+        # corpus scan by the completed urls (AQE broadcasts the small side),
+        # then an equi-join attaches html to the extracted text.
+        completed = results.filter(F.col("status") == Status.COMPLETED).select(
+            "url", "warc_ts", "text", "lang"
+        )
+        corpus_hit = self.corpus.select("url", "html").join(
+            completed.select("url"), "url", "left_semi"
+        )
+        pages_rows = completed.join(corpus_hit, "url", "left").select(
             "url", "warc_ts", "html", "text", "lang"
         )
         self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")

@@ -72,6 +72,9 @@ PAGES_SCHEMA = T.StructType(
 # Fetch-result frame emitted by the fetch UDF — mirrors what the reference's
 # worker writes back per item (crawler/src/crawl_queue.ts:119-149): status,
 # retries delta, error, plus the extracted payload destined for pages.
+# Deliberately NO html column: the raw bytes already sit in the corpus and
+# round-tripping them Spark->Arrow->pandas->Arrow->Spark doubled the fetch
+# stage's serialized volume; the pages writer joins html back JVM-side.
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -80,7 +83,6 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("status", T.IntegerType(), False),
         T.StructField("retries_delta", T.IntegerType(), False),
         T.StructField("error", T.StringType(), True),
-        T.StructField("html", T.BinaryType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("warc_ts", T.TimestampType(), True),

@@ -80,7 +80,13 @@ def main() -> None:
     metrics = epoch_metrics(light, 1).cache()
     tick("fetch+metrics_agg", lambda: metrics.agg(F.sum("completed")).collect())
     tick("metrics_append", lambda: job.metrics_t.append(metrics, tag="e1"))
-    pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
+    completed = results.filter(F.col("status") == Status.COMPLETED).select(
+        "url", "warc_ts", "text", "lang"
+    )
+    corpus_hit = corpus.select("url", "html").join(
+        completed.select("url"), "url", "left_semi"
+    )
+    pages_rows = completed.join(corpus_hit, "url", "left").select(
         "url", "warc_ts", "html", "text", "lang"
     )
     tick("pages_append", lambda: job.pages_t.append(pages_rows, tag="e1"))
