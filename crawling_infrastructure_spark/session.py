@@ -26,7 +26,13 @@ def get_spark(
     tiny test jobs don't schedule 200 empty tasks.
     """
     cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
+    # shuffle width is a property of the DATA, not the core count: at
+    # local[2] a cpus-sized width turns a 15 GB shuffle into 7.5 GB external
+    # sorts per partition (measured: superlinear wall at low core counts),
+    # and comparing local[N] vs local[4N] with different widths measures
+    # spill behavior, not scaling. Floor at 32; AQE coalesces the excess for
+    # tiny jobs.
+    shuffle_partitions = shuffle_partitions or max(32, cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
