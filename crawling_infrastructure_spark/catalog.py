@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def suggest_buckets(
+    n_rows: int,
+    target_rows_per_bucket: int = 1_000_000,
+    lo: int = 8,
+    hi: int = 16384,
+) -> int:
+    """Bucket-count sizing rule (VERDICT r2 item 9): smallest power of two
+    with ~target rows per bucket. A 10^10-row frontier gets 16384 buckets
+    (~6x10^5 rows each — one comfortable executor task); a 10^5-row sandbox
+    frontier gets the floor of 8 so per-epoch write-back doesn't pay
+    64 tiny parquet files x 3 writes of fixed cost (the round-2 profile's
+    biggest line items). Power of two keeps pmod distribution stable under
+    doubling if a table is ever re-bucketed."""
+    b = lo
+    while b < hi and n_rows > b * target_rows_per_bucket:
+        b *= 2
+    return b
+
+
 class Table:
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
@@ -175,6 +194,13 @@ class BucketedTable(Table):
         super().__init__(root, name)
         self.n_buckets = n_buckets
         self.key = key
+        # the bucket count is part of the table's physical layout: a table
+        # that already has data dictates it (persisted at first commit), so
+        # resume/reopen always agrees with what's on disk regardless of the
+        # constructor argument (which then only seeds NEW tables)
+        m = self._load()
+        if m["versions"] and "n_buckets" in m:
+            self.n_buckets = int(m["n_buckets"])
 
     def _bucket_col(self):
         return F.pmod(F.col(self.key), F.lit(self.n_buckets)).cast("int")
@@ -195,11 +221,19 @@ class BucketedTable(Table):
     def _current_dirs(self, manifest: dict | None = None) -> list[str]:
         return [d for dirs in self._current_buckets(manifest).values() for d in dirs]
 
-    def _write_partitioned(self, df: DataFrame, path: str) -> dict[str, str]:
-        """Write df partitioned by bucket; returns {bucket_id: subdir}."""
+    def _write_partitioned(
+        self, df: DataFrame, path: str, n_parts: int | None = None
+    ) -> dict[str, str]:
+        """Write df partitioned by bucket; returns {bucket_id: subdir}.
+
+        ``n_parts`` bounds the shuffle width to the number of buckets the
+        write can possibly touch (len(dirty) for a merge) instead of the
+        session default — a K-bucket merge runs K write tasks producing K
+        files, not shuffle.partitions tasks mostly writing nothing (round-2
+        fixed-cost regression, VERDICT r2 item 1a)."""
         (
             df.withColumn(self.BKT, self._bucket_col())
-            .repartition(self.BKT)
+            .repartition(n_parts or self.n_buckets, F.col(self.BKT))
             .write.mode("overwrite")
             .partitionBy(self.BKT)
             .parquet(path)
@@ -215,6 +249,7 @@ class BucketedTable(Table):
         version = m["current"] + 1
         m["versions"].append({"version": version, "buckets": buckets, "tag": tag})
         m["current"] = version
+        m["n_buckets"] = self.n_buckets  # layout is immutable once data exists
         self._commit(m)
         return version
 
@@ -230,7 +265,7 @@ class BucketedTable(Table):
         dirty_set = {str(b) for b in dirty}
         d = self._new_data_dir(self.current_version() + 1)
         scoped = df.filter(self._bucket_col().isin(list(dirty)))
-        written = self._write_partitioned(scoped, d)
+        written = self._write_partitioned(scoped, d, n_parts=max(1, len(dirty)))
         buckets = {
             b: dirs for b, dirs in self._current_buckets().items() if b not in dirty_set
         }

@@ -61,15 +61,41 @@ class TaskConfig:
     bloom_fpp: float = 0.001
     # frontier table bucket(N, host_hash) partition count. Epoch write-back
     # rewrites only dirty buckets (catalog.BucketedTable.merge_buckets), so
-    # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets;
-    # at a 10^10-row frontier this would be O(10^3-10^4) buckets so one
-    # bucket (~10^6-10^7 rows) fits an executor task comfortably
-    frontier_buckets: int = 64
+    # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets.
+    # None (default) = sized at init_task by catalog.suggest_buckets from
+    # the seed count: buckets ~= expected_frontier_rows / 1M, clamped to
+    # [8, 16384] — a 10^10-row frontier gets ~10^4 buckets (one bucket
+    # ~10^6 rows fits an executor task), while a 10^4-row sandbox frontier
+    # gets 8 instead of paying 64 tiny files x 3 writes per epoch (the
+    # round-2 fixed-cost regression). The chosen count is persisted in the
+    # table manifest so resume reopens with the identical bucketing.
+    frontier_buckets: int | None = None
     # bloom prefilter before the exact anti-join: pays off when the frontier
     # is much larger than executor-broadcastable (the 10^10 design point);
     # at sandbox scale the exact anti-join alone is cheaper — both paths are
     # exact, this only moves work (see operators/seen.py)
     bloom_prefilter: bool = True
+    # pages write path: when an epoch claims <= this many rows, the raw html
+    # rides through the fetch UDF (one corpus scan per epoch, html emitted
+    # from the Arrow batch) and the pages append reads it from the persisted
+    # fetch output. Above it, html is stripped from the Python stage (Arrow
+    # round-trip of ~30 KB/row dominates) and re-attached JVM-side with a
+    # semi-join — two extra corpus scans, the right trade only for giant
+    # epochs over a corpus whose scan is cheap relative to batch volume.
+    carry_html_max_rows: int = 1_000_000
+    # fetch-output persist level: DISK_ONLY guarantees the one expensive
+    # Python pass never re-executes when the batch is big enough to evict
+    # from the memory pool (round-2 lesson: silent eviction re-ran the fetch
+    # 3x); below this row count MEMORY_AND_DISK skips the write+read cycle
+    disk_persist_min_rows: int = 100_000
+    # snapshot GC: every K epochs expire all but the last `snapshot_keep`
+    # versions of every task table (Iceberg expire_snapshots). Without it a
+    # longliving crawl grows one manifest version + one dir-set per epoch
+    # forever (the reference's Mongo updates were in place and had no such
+    # growth, queue.model.ts:70-90). keep_last stays > the resume window
+    # (the latest epoch-K tag is always in the kept suffix).
+    snapshot_gc_epochs: int = 16
+    snapshot_keep: int = 12
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

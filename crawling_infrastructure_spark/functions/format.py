@@ -21,7 +21,9 @@ def format_bytes(n: float, decimals: int = 2) -> str:
     dm = 0 if decimals < 0 else decimals
     i = math.floor(math.log(n) / math.log(1024))
     v = n / (1024 ** i)
-    s = f"{v:.{dm}f}".rstrip("0").rstrip(".") if dm else f"{round(v):d}"
+    # JS toFixed rounds half away from zero ((2.5).toFixed(0) == '3');
+    # Python round() banker's-rounds (round(2.5) == 2) — explicit half-up
+    s = f"{v:.{dm}f}".rstrip("0").rstrip(".") if dm else f"{math.floor(v + 0.5):d}"
     return f"{s} {_SIZES[i]}"
 
 

@@ -5,12 +5,17 @@
         --master spark://...:7077 \\
         -- crawling_infrastructure_spark/job.py \\
         --seeds s3://bucket/seeds.txt --corpus s3://bucket/pages \\
-        --catalog-root s3://bucket/catalog --task-id crawl1 \\
+        --catalog-root /mnt/shared/catalog --task-id crawl1 \\
         --max-items-per-second 200 --max-epochs 100
 
 On a cluster the session comes from spark-submit's conf (master/executors
-set outside); in local testing the factory defaults apply. All TaskConfig
-fields are exposed as flags with the reference's names and defaults.
+set outside — get_spark leaves an existing gateway's master untouched); in
+local testing the factory defaults apply. Seeds/corpus may live on any
+Hadoop-visible filesystem; the CATALOG ROOT must be a driver-visible POSIX
+path (local disk, NFS, fuse mount): the manifest commit uses atomic
+os.replace, which object stores don't provide — swap catalog.py for real
+Iceberg to put the catalog itself on s3. All TaskConfig fields are exposed
+as flags with the reference's names and defaults.
 
 Exit code 0 = task finished (frontier drained) or max_epochs reached;
 the job is re-runnable: with an existing catalog it resumes from the last
@@ -41,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--no-bloom-prefilter", action="store_true")
     p.add_argument("--adaptive-budget", action="store_true")
-    p.add_argument("--frontier-buckets", type=int, default=64)
+    p.add_argument(
+        "--frontier-buckets", type=int, default=None,
+        help="default: auto-sized from the seed count (catalog.suggest_buckets)",
+    )
     p.add_argument("--seen-buckets", type=int, default=32)
     p.add_argument("--robots-rules", help="parquet/csv of (host, directive, path_prefix)")
     p.add_argument("--region-map", help="parquet of (host, region)")

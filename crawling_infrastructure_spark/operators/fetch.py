@@ -79,6 +79,9 @@ class HermeticFetcher:
     epoch: int
     outcome_fn: object = None  # callable (url, epoch) -> outcome str
     func: CrawlFunction = field(default_factory=CrawlFunction)
+    # carry the raw html of completed rows through the result frame (one
+    # corpus scan per epoch; see FETCH_RESULT_SCHEMA note / cfg.carry_html_max_rows)
+    carry_html: bool = False
 
     def outcome(self, url: str) -> str:
         if self.outcome_fn is None:
@@ -105,7 +108,9 @@ class HermeticFetcher:
         lang_o: list = [None] * n
         links_o: list = [None] * n
         nbytes_o = [0] * n
+        html_o: list = [None] * n
         extract, outlinks = self.func.extract, self.func.outlinks
+        get_key, carry = self.func.get_key, self.carry_html
         for i, (url, html) in enumerate(zip(urls, htmls)):
             outcome = self.outcome(url)
             if html is None:
@@ -126,6 +131,8 @@ class HermeticFetcher:
                 links_o[i] = outlinks(decoded)
                 lang_o[i] = langs[i]
                 nbytes_o[i] = len(h)
+                if carry:
+                    html_o[i] = h
         return pd.DataFrame(
             {
                 "url": urls,
@@ -140,6 +147,10 @@ class HermeticFetcher:
                 "outlinks": links_o,
                 "bytes_fetched": nbytes_o,
                 "elapsed_ms": [b / SIM_BYTES_PER_MS + 1.0 for b in nbytes_o],
+                # F10 md5 item id — the key the reference stores results
+                # under (worker.getKey); rides into the pages table
+                "item_key": [get_key(u) for u in urls],
+                "html": html_o,
             }
         )
 

@@ -31,13 +31,17 @@ manifest commit = the race-free version of the reference's heartbeat healing.
 
 from __future__ import annotations
 
+import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from crawling_infrastructure_spark.catalog import Catalog
+from crawling_infrastructure_spark.catalog import Catalog, suggest_buckets
 from crawling_infrastructure_spark.config import TaskConfig
 from crawling_infrastructure_spark.operators.claim import claim_batch, mark_running
 from crawling_infrastructure_spark.operators.fetch import (
@@ -65,6 +69,29 @@ from crawling_infrastructure_spark.operators.seen import (
     update_seen,
 )
 from crawling_infrastructure_spark.schema import FRONTIER_SCHEMA, SEEN_SCHEMA, Status
+
+
+class _Prof:
+    """Per-step wall profile of run_epoch, printed when
+    SPARK_GRAFT_EPOCH_PROFILE=1 — instruments the REAL code path so profile
+    numbers can never diverge from what the loop actually executes (the
+    round-2 profile tool re-implemented the epoch and drifted)."""
+
+    enabled = os.environ.get("SPARK_GRAFT_EPOCH_PROFILE", "") == "1"
+
+    def __init__(self, epoch: int):
+        self.epoch = epoch
+        self.t: dict[str, float] = {}
+
+    @contextmanager
+    def step(self, name: str):
+        t0 = time.time()
+        yield
+        self.t[name] = round(time.time() - t0, 2)
+
+    def emit(self) -> None:
+        if self.enabled:
+            print({"epoch_profile": self.epoch, **self.t, "total": round(sum(self.t.values()), 2)})
 
 
 @dataclass
@@ -107,8 +134,12 @@ class CrawlJob:
         # merge per epoch — turn off for throughput benchmarks)
         self.claim_snapshot = claim_snapshot
         cat = Catalog(catalog_root)
+        # frontier_buckets=None -> sized at init_task from the seed count;
+        # the placeholder never writes data (an existing table's manifest
+        # overrides it inside BucketedTable, a new one is resized before
+        # the first commit)
         self.frontier_t = cat.bucketed_table(
-            f"frontier_{cfg.task_id}", cfg.frontier_buckets, key="host_hash"
+            f"frontier_{cfg.task_id}", cfg.frontier_buckets or 64, key="host_hash"
         )
         self.pages_t = cat.table(f"pages_{cfg.task_id}")
         self.metrics_t = cat.table(f"metrics_{cfg.task_id}")
@@ -119,14 +150,31 @@ class CrawlJob:
         )
 
     # -- lifecycle ---------------------------------------------------------
+    # expected frontier growth over the crawl's lifetime relative to the
+    # seed list (outlink discovery) — only feeds the bucket-count sizing
+    # rule, which is a power-of-two clamp and so insensitive to this factor
+    SEED_GROWTH_FACTOR = 4
+
     def init_task(self, seeds: DataFrame) -> int:
-        """Seed the frontier (S1-S4) + build the seen set. Returns row count."""
+        """Seed the frontier (S1-S4) + build the seen set. Returns row count.
+
+        When cfg.frontier_buckets is None the bucket count is sized here
+        from the seed count (catalog.suggest_buckets, VERDICT r2 item 9):
+        ~1M rows/bucket so a 10^10-URL frontier gets ~10^4 buckets while a
+        sandbox frontier doesn't pay dozens of tiny files per write. The
+        count is persisted in the table manifest, so resume reopens with
+        the identical layout whatever the config says."""
         rows = frontier_rows(seeds, self.cfg.priority, epoch=0)
         if self.region_map is not None:
             rows = assign_regions(rows, self.region_map)
         if self.cfg.respect_robots:
             rows = filter_allowed(rows, self.spark, self.robots)
+        if self.cfg.frontier_buckets is None and not self.frontier_t.exists():
+            rows = rows.cache()
+            n_seeds = rows.count()
+            self.frontier_t.n_buckets = suggest_buckets(n_seeds * self.SEED_GROWTH_FACTOR)
         self.frontier_t.write_full(rows, tag="epoch-0")
+        rows.unpersist()
         f = self.frontier_t.read(self.spark)
         if self.cfg.dedup and self.cfg.bloom_prefilter:
             self.seen_t.write_full(
@@ -152,18 +200,41 @@ class CrawlJob:
 
     def reenqueue(self, predicate, dryrun: bool = False) -> int:
         """U5 POST /enqueue (queue.service.ts:106-180): evaluate ``predicate``
-        (a pyspark Column / SQL string over the pages columns url, warc_ts,
-        html, text, lang) against every stored result and flip matching
-        items back to initial with retries reset. The reference downloads +
-        inflates every result file and evals user JS per file; here the
-        predicate is a Catalyst expression over the columnar pages table and
-        the write-back is a dirty-bucket merge — O(matched), not O(frontier).
+        against every stored result and flip matching items back to initial
+        with retries reset. The reference downloads + inflates every result
+        file and evals user JS per file (queue.service.ts:123-147 check());
+        here the predicate runs over the columnar pages table and the
+        write-back is a dirty-bucket merge — O(matched), not O(frontier).
+
+        Predicate forms (§2.10 user-code surface, full arbitrary-code parity):
+        - pyspark Column or SQL string — stays JVM-side (whole-stage codegen)
+        - Python callable ``(pd.DataFrame) -> boolean mask`` over the pages
+          columns (url, warc_ts, html, text, lang) — runs as an Arrow-batched
+          mapInPandas for logic SQL can't express (backreference regexes,
+          library calls); only the matched urls leave Python.
+
         dryrun=True (the API's default) only counts. Returns matched count."""
         pages = self.pages_t.read(self.spark)
         if isinstance(predicate, str):
             predicate = F.expr(predicate)
+        if callable(predicate) and not isinstance(predicate, F.Column):
+            import pandas as pd  # noqa: F401 — documented predicate contract
+
+            fn = predicate
+
+            def matcher(batches):
+                for pdf in batches:
+                    if len(pdf):
+                        mask = pd.Series(fn(pdf), index=pdf.index).astype(bool)
+                        yield pdf.loc[mask, ["url"]]
+
+            hits = pages.mapInPandas(
+                matcher, T.StructType([T.StructField("url", T.StringType(), False)])
+            )
+        else:
+            hits = pages.filter(predicate)
         matched = (
-            pages.filter(predicate)
+            hits
             .select(
                 url_hash_col(F.col("url")).alias("url_hash"),
                 F.xxhash64(host_col(F.col("url"))).alias("host_hash"),
@@ -238,50 +309,81 @@ class CrawlJob:
                 mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
             )
 
-        fetcher = HermeticFetcher(epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn)
-        # DISK_ONLY: the fetch output carries the raw html + extracted text
-        # (tens of KB/row — an epoch batch can be 10s of GB); an in-memory
-        # cache silently evicts under that volume and every downstream
-        # consumer re-runs the Python fetch (measured: 3x re-execution, the
-        # round-2 200k-page profile's 2 biggest line items). Spilling the
-        # one expensive pass to local disk guarantees exactly-one execution;
-        # the small columns the merge/growth/metrics steps need are a
-        # separate in-memory cache (~KB/row).
-        results = fetch_batch(claimed, self.corpus, fetcher).persist(
-            StorageLevel.DISK_ONLY
+        # carry mode (batch <= carry_html_max_rows, the common politeness-
+        # bounded epoch): raw html rides through the fetch UDF and the pages
+        # append reads it from the persisted output — ONE corpus scan per
+        # epoch. Strip mode (giant epochs): html is dropped from the Arrow
+        # round-trip and re-attached JVM-side below at the cost of two more
+        # corpus scans. Round 2 always stripped; at sandbox scale the two
+        # re-joins were a per-epoch fixed cost (VERDICT r2 item 1c).
+        carry = stats.claimed <= self.cfg.carry_html_max_rows
+        fetcher = HermeticFetcher(
+            epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn, carry_html=carry
         )
+        # DISK_ONLY: the fetch output carries the extracted text (and in
+        # carry mode the html — tens of KB/row; a big batch can be 10s of
+        # GB); an in-memory cache silently evicts under that volume and
+        # every downstream consumer re-runs the Python fetch (measured: 3x
+        # re-execution in round 2's 200k-page profile). Spilling the one
+        # expensive pass to local disk guarantees exactly-one execution;
+        # small batches skip the disk round-trip (MEMORY_AND_DISK spills,
+        # never recomputes). The small columns the merge/growth/metrics
+        # steps need are a separate in-memory cache (~KB/row).
+        level = (
+            StorageLevel.DISK_ONLY
+            if stats.claimed >= self.cfg.disk_persist_min_rows
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        results = fetch_batch(claimed, self.corpus, fetcher).persist(level)
         light = results.select(
             "url", "url_hash", "host", "status", "retries_delta", "error",
             "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
         ).cache()
 
         # 6-first: metrics lineage doubles as the epoch stats source — one
-        # pass over results instead of a separate agg job
+        # pass over results instead of a separate agg job. The same agg also
+        # returns the claimed rows' dirty-bucket set (hosts' pmod buckets
+        # piggyback on the per-host metric rows) so the merge below needs no
+        # extra collect job (VERDICT r2 item 1b). host_hash == xxhash64(host)
+        # by construction (operators/frontier.frontier_rows).
+        nb = self.frontier_t.n_buckets
+        host_bkt = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).cast("int")
         metrics = epoch_metrics(light, epoch).cache()
         agg = metrics.agg(
-            F.sum("completed"), F.sum("failed"), F.sum("blocked"), F.sum("bytes_fetched")
+            F.sum("completed"), F.sum("failed"), F.sum("blocked"),
+            F.sum("bytes_fetched"), F.collect_set(host_bkt),
         ).collect()[0]
         stats.completed = int(agg[0] or 0)
         stats.failed = int(agg[1] or 0)
         stats.blocked = int(agg[2] or 0)
         stats.bytes_fetched = int(agg[3] or 0)
-        self.metrics_t.append(metrics, tag=f"epoch-{epoch}")
+        claim_bkts = [int(b) for b in (agg[4] or [])]
+        # metric rows are one per (epoch, host) — tiny relative to the batch;
+        # writing them at inherited shuffle width cost ~4 s of empty-task
+        # overhead per epoch in round 2 (VERDICT r2 item 1e)
+        self.metrics_t.append(
+            metrics.coalesce(max(1, stats.claimed // 500_000)), tag=f"epoch-{epoch}"
+        )
         metrics.unpersist()
 
-        # 3. pages append — columnar write replaces N S3 puts (S6/S7). The
-        # raw html never rode through the Python fetch (FETCH_RESULT_SCHEMA
-        # note); it joins back from the corpus JVM-side: semi-prune the
-        # corpus scan by the completed urls (AQE broadcasts the small side),
-        # then an equi-join attaches html to the extracted text.
-        completed = results.filter(F.col("status") == Status.COMPLETED).select(
-            "url", "warc_ts", "text", "lang"
-        )
-        corpus_hit = self.corpus.select("url", "html").join(
-            completed.select("url"), "url", "left_semi"
-        )
-        pages_rows = completed.join(corpus_hit, "url", "left").select(
-            "url", "warc_ts", "html", "text", "lang"
-        )
+        # 3. pages append — columnar write replaces N S3 puts (S6/S7).
+        if carry:
+            pages_rows = results.filter(F.col("status") == Status.COMPLETED).select(
+                "url", "item_key", "warc_ts", "html", "text", "lang"
+            )
+        else:
+            # strip mode: semi-prune the corpus scan by the completed urls
+            # (AQE broadcasts the small side), then an equi-join re-attaches
+            # html to the extracted text.
+            completed = results.filter(F.col("status") == Status.COMPLETED).select(
+                "url", "item_key", "warc_ts", "text", "lang"
+            )
+            corpus_hit = self.corpus.select("url", "html").join(
+                completed.select("url"), "url", "left_semi"
+            )
+            pages_rows = completed.join(corpus_hit, "url", "left").select(
+                "url", "item_key", "warc_ts", "html", "text", "lang"
+            )
         self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
 
         # 5. frontier growth: outlinks -> dedup -> new initial rows. The
@@ -318,20 +420,22 @@ class CrawlJob:
             ).cache()
         else:
             new_rows = candidates.cache()  # reference semantics: dups permitted
-        stats.new_urls = new_rows.count()
+        # one job returns both the growth count and the new rows' dirty
+        # buckets (collect_set over <= n_buckets ints — VERDICT r2 item 1b)
+        grow = new_rows.agg(
+            F.count("*"),
+            F.collect_set(F.pmod(F.col("host_hash"), F.lit(nb)).cast("int")),
+        ).collect()[0]
+        stats.new_urls = int(grow[0])
+        new_bkts = [int(b) for b in (grow[1] or [])]
 
         # 4. status write-back + retryable-failed re-enqueue + new-row
         # admission, all in ONE dirty-bucket merge: buckets holding claimed
         # rows get results merged in, buckets receiving new rows get them
         # appended, every other bucket is carried over by reference. The
-        # dirty set comes from one collect over both cached inputs (two
-        # when the claim snapshot already needed its own).
-        if dirty_claim is None:
-            dirty = self.frontier_t.bucket_ids_of(
-                claimed.select("host_hash").unionByName(new_rows.select("host_hash"))
-            )
-        else:
-            dirty = sorted(set(dirty_claim) | set(self.frontier_t.bucket_ids_of(new_rows)))
+        # dirty sets piggybacked on the stats/growth aggregates above, so
+        # no extra driver job runs here.
+        dirty = sorted(set(dirty_claim if dirty_claim is not None else claim_bkts) | set(new_bkts))
         fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
         merged_dirty = reenqueue_failed(
             merge_results(fdirty, light), self.cfg.retry_failed_items
@@ -350,6 +454,16 @@ class CrawlJob:
         new_rows.unpersist()
         for df in scratch:
             df.unpersist()
+
+        # 7b. snapshot GC (Iceberg expire_snapshots) every K epochs: without
+        # it a longliving crawl grows one manifest version + dir-set per
+        # epoch per table forever — the reference's Mongo updates are in
+        # place (queue.model.ts:70-90) and have no such growth. keep_last
+        # always covers the latest epoch-K tag, so kill-resume still works.
+        if self.cfg.snapshot_gc_epochs and epoch % self.cfg.snapshot_gc_epochs == 0:
+            keep = self.cfg.snapshot_keep
+            for t in (self.frontier_t, self.pages_t, self.metrics_t, self.seen_t):
+                t.expire_snapshots(keep_last=keep)
 
         # 7. termination predicate (A2) — new initial rows (discoveries or
         # retryable re-enqueues) imply not-finished without another job

@@ -72,9 +72,13 @@ PAGES_SCHEMA = T.StructType(
 # Fetch-result frame emitted by the fetch UDF — mirrors what the reference's
 # worker writes back per item (crawler/src/crawl_queue.ts:119-149): status,
 # retries delta, error, plus the extracted payload destined for pages.
-# Deliberately NO html column: the raw bytes already sit in the corpus and
-# round-tripping them Spark->Arrow->pandas->Arrow->Spark doubled the fetch
-# stage's serialized volume; the pages writer joins html back JVM-side.
+# item_key = CrawlFunction.get_key(url) — the reference's md5 item id the
+# worker stores results under (F10, crawler/src/worker.ts getKey).
+# html is populated only for completed rows and only when the epoch runs in
+# carry mode (cfg.carry_html_max_rows): one corpus scan per epoch, the pages
+# append reads html from the persisted fetch output. Strip mode (giant
+# epochs) emits NULL here and re-attaches html JVM-side — the Arrow
+# round-trip of raw bytes doubles the Python stage's serialized volume.
 FETCH_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -89,6 +93,8 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         T.StructField("bytes_fetched", T.LongType(), False),
         T.StructField("elapsed_ms", T.DoubleType(), False),
+        T.StructField("item_key", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
     ]
 )
 

@@ -33,9 +33,16 @@ def get_spark(
     # spill behavior, not scaling. Floor at 32; AQE coalesces the excess for
     # tiny jobs.
     shuffle_partitions = shuffle_partitions or max(32, cpus)
+    builder = SparkSession.builder
+    # Under spark-submit the driver python is launched by PythonRunner with
+    # an existing JVM gateway (PYSPARK_GATEWAY_PORT set) whose conf already
+    # carries --master; overriding it here would silently demote a cluster
+    # job to single-node local mode. Only default to local[N] when we own
+    # session creation (tests, bench, notebooks).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -133,6 +133,10 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
     import pandas as pd
 
     packed = state.get[0] if state.exists else None
+    # state invariant: SORTED packed uint64 array. Membership is then a
+    # binary search (O(batch log state)) instead of np.isin's per-batch
+    # re-sort of the whole state, and the insert is one O(state) memmove —
+    # the same order as the unavoidable state re-serialization.
     seen = (
         np.frombuffer(packed, dtype=np.uint64)
         if packed is not None and len(packed)
@@ -144,23 +148,29 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
         if not len(pdf):
             continue
         h = pdf["url_hash"].to_numpy().astype(np.uint64)
-        # vectorized membership vs state + first-occurrence-in-batch dedup
-        fresh_mask = ~np.isin(h, seen)
-        _, first_idx = np.unique(h, return_index=True)
-        first_mask = np.zeros(len(h), dtype=bool)
-        first_mask[first_idx] = True
-        take = fresh_mask & first_mask
-        if take.any():
-            out_url.extend(pdf["url"].to_numpy()[take])
-            out_hash.extend(h[take])
-            seen = np.concatenate([seen, h[take]])
+        # first-occurrence-in-batch dedup; uniq is sorted
+        uniq, first_idx = np.unique(h, return_index=True)
+        # vectorized membership vs the sorted state
+        pos = np.searchsorted(seen, uniq)
+        present = np.zeros(len(uniq), dtype=bool)
+        inb = pos < len(seen)
+        present[inb] = seen[pos[inb]] == uniq[inb]
+        if not present.all():
+            keep_idx = np.sort(first_idx[~present])  # original batch order
+            out_url.extend(pdf["url"].to_numpy()[keep_idx])
+            # emit as SIGNED int64: xxhash64 is signed in Spark, and the
+            # uint64 view is state-internal only — unsigned values >= 2^63
+            # would fail Arrow's LongType range check
+            out_hash.extend(h[keep_idx].astype(np.int64))
+            fresh = uniq[~present]  # sorted
+            seen = np.insert(seen, np.searchsorted(seen, fresh), fresh)
     state.update((seen.tobytes(),))
     if out_url:
         yield pd.DataFrame(
             {
                 "bucket_id": [int(key[0])] * len(out_url),
                 "url": out_url,
-                "url_hash": [int(x) for x in out_hash],
+                "url_hash": np.asarray(out_hash, dtype=np.int64),
             }
         )
 
@@ -170,11 +180,13 @@ def streaming_dedup(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
     keep per-bucket seen-set state in the state store
     (applyInPandasWithState). The streaming twin of operators/seen.py.
 
-    State is a packed uint64 array (8 bytes per hash). Sizing: raise
+    State is a SORTED packed uint64 array (8 bytes per hash). Sizing: raise
     ``n_buckets`` so one bucket's state stays small — at 10^10 URLs and
     n_buckets=4096 each state row is ~20 MB, which the HDFS-backed state
-    store snapshots incrementally. Membership checks are vectorized
-    ``np.isin`` (sorted-merge under the hood), not per-row Python."""
+    store snapshots incrementally. Membership is a vectorized binary search
+    against the sorted state (O(batch log state) per bucket per batch) and
+    admission is one in-order insert — the per-batch cost beyond the state
+    store's own re-serialization is sublinear in state size."""
     bucketed = urls.withColumn(
         "bucket_id", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int")
     )
