@@ -24,9 +24,47 @@ import os
 import shutil
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # non-Linux
+        return -1.0
+
+
+class LoadSampler:
+    """Samples /proc/loadavg in the background so every published number
+    carries its host-load context — this sandbox shares CPUs with other
+    tenants and identical code swings ±2.5x with their bursts; without the
+    trace a slow BENCH_rN line is unadjudicable post-hoc (VERDICT r2 #3)."""
+
+    def __init__(self, interval: float = 5.0):
+        self.before = _loadavg1()
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, args=(interval,), daemon=True)
+        self._t.start()
+
+    def _run(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            self.samples.append(_loadavg1())
+
+    def finish(self) -> dict:
+        self._stop.set()
+        self._t.join(timeout=1.0)
+        s = self.samples or [_loadavg1()]
+        return {
+            "load_before": self.before,
+            "load_mean_during": round(sum(s) / len(s), 1),
+            "load_max_during": round(max(s), 1),
+            "load_samples": len(s),
+        }
 
 HEADLINE_QUERIES = [
     "ranked_dequeue",
@@ -177,6 +215,7 @@ def main() -> None:
     from crawling_infrastructure_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=cpus)
+    load = LoadSampler()
     out: dict = {"sf": sf_dir, "cpus": cpus}
     total = 0.0
     if mode in ("all", "queries"):
@@ -198,6 +237,7 @@ def main() -> None:
     out["metric"] = "bench_suite_seconds"
     out["value"] = round(total, 1)
     out["unit"] = "sec"
+    out.update(load.finish())
     spark.stop()
     print(json.dumps(out))
 

@@ -13,8 +13,6 @@ records x avg_payload stays ~10-100 MB per Python worker."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -62,30 +60,47 @@ def sniff_format(payload: bytes) -> str:
     return "unknown"
 
 
+def sniff_format_col(payload) -> F.Column:
+    """JVM-side twin of sniff_format: magic-byte dispatch as hex-prefix
+    compares — whole-stage codegen, zero Python."""
+    p = F.coalesce(payload, F.lit(b""))
+    return (
+        F.when(F.length(p) == 0, F.lit("empty"))
+        .when(F.hex(F.substring(p, 1, 2)) == "FFD8", F.lit("jpeg"))
+        .when(F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A", F.lit("png"))
+        .when(F.hex(F.substring(p, 1, 4)) == "52494646", F.lit("riff"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def extract_media_features(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload",
     use_real_decoder: bool = False,
 ) -> DataFrame:
     """(id, binary payload) -> (id, n_bytes, format, feature[dim]).
-    mapInPandas so one Arrow batch is one Python call — never per-row."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fe = decode_media if use_real_decoder else fake_feature
-        for pdf in batches:
-            ids, sizes, fmts, feats = [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload) if payload is not None else b""
-                ids.append(int(mid))
-                sizes.append(len(b))
-                fmts.append(sniff_format(b))
-                feats.append(fe(b).tolist())
-            yield pd.DataFrame(
-                {"media_id": ids, "n_bytes": sizes, "format": fmts, "feature": feats}
-            )
+    Split by where the work belongs: n_bytes (length on binary) and format
+    (magic-byte dispatch) are plain JVM expressions; only the decode/feature
+    step is Python, as a SCALAR Arrow-batched pandas UDF. Because the
+    feature is one projected expression (not a mapInPandas that rewrites the
+    whole row set), Catalyst prunes the Python stage entirely when a caller
+    drops the feature column — a metadata-only query over 100 TB of media
+    never launches a Python worker."""
+    fe = decode_media if use_real_decoder else fake_feature
 
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def feature_udf(payloads: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fe(bytes(p) if p is not None else b"").tolist() for p in payloads]
+        )
+
+    p = F.col(payload_col)
     return media.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+        F.col(id_col).cast("long").alias("media_id"),
+        F.coalesce(F.length(p), F.lit(0)).cast("long").alias("n_bytes"),
+        sniff_format_col(p).alias("format"),
+        feature_udf(p).alias("feature"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:

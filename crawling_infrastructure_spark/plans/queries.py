@@ -361,6 +361,85 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(d).select("media_id", "n_bytes", "format")
 
 
+def q_fetch_state_machine(spark, sf_dir):
+    """§2.8 fetch-map state machine replayed for TWO epochs through the REAL
+    operators — fetch_batch (the vectorized CrawlHandler.run port,
+    crawler/src/handler.ts:51-206), merge_results (U1 updateQueueNew,
+    crawl_queue.ts:119-149) and reenqueue_failed (U2, queue.model.ts:258-266)
+    — over a corpus derived deterministically from the documents table. The
+    DuckDB oracle recomputes every transition as CASE arithmetic, which puts
+    the whole retry accounting (blocked does NOT consume a retry,
+    handler.ts:171-176; connection errors DO; failed-below-max re-enqueues)
+    under the driver's hash gate instead of pytest only.
+
+    Outcome map per (doc_id, epoch): doc_id%10==9 -> url absent from the
+    corpus (connection error every attempt); else (doc_id+7*epoch)%9 ->
+    <6 ok, 6 http500, 7 timeout, 8 blocked."""
+    from crawling_infrastructure_spark.operators.fetch import (
+        HermeticFetcher,
+        fetch_batch,
+    )
+    from crawling_infrastructure_spark.operators.frontier import (
+        frontier_rows,
+        merge_results,
+        reenqueue_failed,
+    )
+    from crawling_infrastructure_spark.schema import Status
+    from crawling_infrastructure_spark.synth import (
+        OUTCOME_BLOCKED,
+        OUTCOME_HTTP500,
+        OUTCOME_OK,
+        OUTCOME_TIMEOUT,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+        F.lit(".example/d"), F.col("doc_id").cast("string"),
+    )
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 60).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("lang"),
+    )
+
+    def oc(u: str, epoch: int) -> str:
+        m = (int(u.rsplit("/d", 1)[1]) + 7 * epoch) % 9
+        if m < 6:
+            return OUTCOME_OK
+        if m == 6:
+            return OUTCOME_HTTP500
+        if m == 7:
+            return OUTCOME_TIMEOUT
+        return OUTCOME_BLOCKED
+
+    f = frontier_rows(docs.select(url.alias("item")), priority=1, epoch=0)
+    bytes_frames = []
+    for epoch in (1, 2):
+        claimed = f.filter(F.col("status") == Status.INITIAL)
+        r = fetch_batch(claimed, corpus, HermeticFetcher(epoch=epoch, outcome_fn=oc))
+        light = r.select(
+            "url", "url_hash", "host", "status", "retries_delta",
+            "error", "warc_ts", "bytes_fetched",
+        )
+        bytes_frames.append(light.select("url", "bytes_fetched"))
+        f = reenqueue_failed(merge_results(f, light), max_retries=2)
+    total_bytes = (
+        bytes_frames[0].unionByName(bytes_frames[1])
+        .groupBy("url")
+        .agg(F.sum("bytes_fetched").alias("total_bytes"))
+    )
+    return f.join(total_bytes, "url", "left").select(
+        "url",
+        "status",
+        "retries",
+        "error",
+        F.coalesce("total_bytes", F.lit(0)).alias("total_bytes"),
+        F.unix_timestamp(F.col("crawled").cast("timestamp")).alias("crawled_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-shaped (windowed/sessionized) over the events table
 # ---------------------------------------------------------------------------
@@ -422,6 +501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
+    "fetch_state_machine": q_fetch_state_machine,
     "windowed_event_counts": q_windowed_event_counts,
     "sessionize": q_sessionize,
 }
@@ -751,6 +831,70 @@ FROM documents
 SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        'unknown' AS format
 FROM documents
+""",
+    "fetch_state_machine": """
+WITH d AS (
+  SELECT doc_id AS i,
+         'https://h' || CAST(doc_id % 23 AS VARCHAR) || '.example/d'
+            || CAST(doc_id AS VARCHAR) AS url,
+         octet_length(encode(text)) AS blen,
+         (doc_id % 10 = 9) AS conn
+  FROM documents
+),
+-- epoch-1 attempt: every row claimed, retries start at 0
+e1 AS (
+  SELECT *, CASE WHEN conn THEN 'conn'
+                 WHEN (i + 7) % 9 < 6 THEN 'ok'
+                 WHEN (i + 7) % 9 = 6 THEN 'http500'
+                 WHEN (i + 7) % 9 = 7 THEN 'timeout'
+                 ELSE 'blocked' END AS oc1
+  FROM d
+),
+s1 AS (
+  SELECT *,
+         CASE WHEN oc1 = 'ok' THEN 2 ELSE 3 END AS st1,
+         CASE WHEN oc1 = 'blocked' THEN 0 ELSE 1 END AS r1,
+         CASE oc1 WHEN 'ok' THEN ''
+                  WHEN 'conn' THEN 'RequestError: getaddrinfo ENOTFOUND'
+                  WHEN 'blocked' THEN 'blocked: status code 403'
+                  WHEN 'timeout' THEN 'TimeoutError: Timeout awaiting ''request'''
+                  ELSE 'HTTPError: Response code 500' END AS err1,
+         CASE WHEN oc1 = 'ok' THEN blen ELSE 0 END AS b1
+  FROM e1
+),
+-- U2 re-enqueue after epoch 1 (retries < 2): every failed row goes back
+q1 AS (SELECT *, CASE WHEN st1 = 3 AND r1 < 2 THEN 0 ELSE st1 END AS st1b FROM s1),
+-- epoch-2 attempt: only rows re-enqueued to initial
+e2 AS (
+  SELECT *, CASE WHEN st1b <> 0 THEN NULL
+                 WHEN conn THEN 'conn'
+                 WHEN (i + 14) % 9 < 6 THEN 'ok'
+                 WHEN (i + 14) % 9 = 6 THEN 'http500'
+                 WHEN (i + 14) % 9 = 7 THEN 'timeout'
+                 ELSE 'blocked' END AS oc2
+  FROM q1
+),
+s2 AS (
+  SELECT *,
+         CASE WHEN oc2 IS NULL THEN st1b
+              WHEN oc2 = 'ok' THEN 2 ELSE 3 END AS st2,
+         r1 + CASE WHEN oc2 IS NULL OR oc2 = 'blocked' THEN 0 ELSE 1 END AS rt,
+         CASE WHEN oc2 IS NULL THEN err1
+              WHEN oc2 = 'ok' THEN ''
+              WHEN oc2 = 'conn' THEN 'RequestError: getaddrinfo ENOTFOUND'
+              WHEN oc2 = 'blocked' THEN 'blocked: status code 403'
+              WHEN oc2 = 'timeout' THEN 'TimeoutError: Timeout awaiting ''request'''
+              ELSE 'HTTPError: Response code 500' END AS err,
+         b1 + CASE WHEN oc2 = 'ok' THEN blen ELSE 0 END AS tb
+  FROM e2
+)
+SELECT url,
+       CAST(CASE WHEN st2 = 3 AND rt < 2 THEN 0 ELSE st2 END AS INTEGER) AS status,
+       CAST(rt AS INTEGER) AS retries,
+       err AS error,
+       CAST(tb AS BIGINT) AS total_bytes,
+       CASE WHEN conn THEN NULL ELSE CAST(i * 60 AS BIGINT) END AS crawled_s
+FROM s2
 """,
     "windowed_event_counts": """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s, event_type,
