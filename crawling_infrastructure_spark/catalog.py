@@ -39,16 +39,18 @@ from pyspark.sql import types as T
 def suggest_buckets(
     n_rows: int,
     target_rows_per_bucket: int = 1_000_000,
-    lo: int = 8,
+    lo: int = 1,
     hi: int = 16384,
 ) -> int:
     """Bucket-count sizing rule (VERDICT r2 item 9): smallest power of two
     with ~target rows per bucket. A 10^10-row frontier gets 16384 buckets
-    (~6x10^5 rows each — one comfortable executor task); a 10^5-row sandbox
-    frontier gets the floor of 8 so per-epoch write-back doesn't pay
-    64 tiny parquet files x 3 writes of fixed cost (the round-2 profile's
-    biggest line items). Power of two keeps pmod distribution stable under
-    doubling if a table is ever re-bucketed."""
+    (~6x10^5 rows each — one comfortable executor task); a sandbox frontier
+    under 1M rows gets ONE bucket — i.e. no bucket machinery at all, a plain
+    whole-table snapshot per merge, which is exactly the round-1 layout that
+    was fastest at small scale. Bucket pruning only pays once the frontier
+    dwarfs an epoch batch; below target_rows_per_bucket the whole table is
+    one comfortable write task. Power of two keeps pmod distribution stable
+    under doubling if a table is ever re-bucketed."""
     b = lo
     while b < hi and n_rows > b * target_rows_per_bucket:
         b *= 2
@@ -122,11 +124,14 @@ class Table:
         self._commit(m)
         return version
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, schema: T.StructType | None = None) -> DataFrame:
+        """``schema``: skip parquet footer inference — at one frontier read
+        per epoch the driver-side footer fetch is measurable fixed cost."""
         dirs = self._current_dirs()
         if not dirs:
             raise FileNotFoundError(f"table {self.name} has no data")
-        return spark.read.parquet(*dirs)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*dirs)
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         for v in self._load()["versions"]:
@@ -231,6 +236,12 @@ class BucketedTable(Table):
         session default — a K-bucket merge runs K write tasks producing K
         files, not shuffle.partitions tasks mostly writing nothing (round-2
         fixed-cost regression, VERDICT r2 item 1a)."""
+        if self.n_buckets == 1:
+            # unbucketed layout (suggest_buckets floor): bucket 0 IS the
+            # table — plain parallel write, no repartition shuffle, no
+            # dynamic-partition committer, upstream parallelism preserved
+            df.write.mode("overwrite").parquet(path)
+            return {"0": path}
         (
             df.withColumn(self.BKT, self._bucket_col())
             .repartition(n_parts or self.n_buckets, F.col(self.BKT))
@@ -293,7 +304,8 @@ class BucketedTable(Table):
         cur = self._current_buckets()
         dirs = [d for b in bucket_ids for d in cur.get(str(b), [])]
         if dirs:
-            return spark.read.parquet(*dirs)
+            reader = spark.read.schema(schema) if schema is not None else spark.read
+            return reader.parquet(*dirs)
         if schema is None:
             raise FileNotFoundError(f"table {self.name}: no data in buckets {bucket_ids}")
         return spark.createDataFrame([], schema)

@@ -64,7 +64,7 @@ class TaskConfig:
     # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets.
     # None (default) = sized at init_task by catalog.suggest_buckets from
     # the seed count: buckets ~= expected_frontier_rows / 1M, clamped to
-    # [8, 16384] — a 10^10-row frontier gets ~10^4 buckets (one bucket
+    # [1, 16384] — a 10^10-row frontier gets ~10^4 buckets (one bucket
     # ~10^6 rows fits an executor task), while a 10^4-row sandbox frontier
     # gets 8 instead of paying 64 tiny files x 3 writes per epoch (the
     # round-2 fixed-cost regression). The chosen count is persisted in the

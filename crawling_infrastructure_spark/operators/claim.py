@@ -90,10 +90,14 @@ def claim_batch(
     if total <= budget:
         return (ranked, total) if with_count else ranked
 
-    stratum = [0] * (cap + 2)  # stratum[r] = row count at host_rank == r
+    # stratum[r] = row count at host_rank == r == #hosts with >= r capped
+    # candidates: one O(cap) suffix sum over the histogram, not an
+    # O(sum(c)) expansion (cap is user-set and can be 10^5+)
+    stratum = [0] * (cap + 2)
     for c, h in hist:
-        for r in range(1, c + 1):
-            stratum[r] += h
+        stratum[c] += h
+    for r in range(cap, 0, -1):
+        stratum[r] += stratum[r + 1]
     cum, r_star = 0, 0
     while r_star < cap and cum + stratum[r_star + 1] <= budget:
         r_star += 1

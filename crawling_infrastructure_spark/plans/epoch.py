@@ -36,7 +36,7 @@ import time
 from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -81,6 +81,7 @@ class _Prof:
 
     def __init__(self, epoch: int):
         self.epoch = epoch
+        self.t0 = time.time()
         self.t: dict[str, float] = {}
 
     @contextmanager
@@ -91,7 +92,11 @@ class _Prof:
 
     def emit(self) -> None:
         if self.enabled:
-            print({"epoch_profile": self.epoch, **self.t, "total": round(sum(self.t.values()), 2)})
+            wall = round(time.time() - self.t0, 2)
+            print({
+                "epoch_profile": self.epoch, **self.t,
+                "steps": round(sum(self.t.values()), 2), "wall": wall,
+            })
 
 
 @dataclass
@@ -164,6 +169,7 @@ class CrawlJob:
         sandbox frontier doesn't pay dozens of tiny files per write. The
         count is persisted in the table manifest, so resume reopens with
         the identical layout whatever the config says."""
+        prof = _Prof(0)
         rows = frontier_rows(seeds, self.cfg.priority, epoch=0)
         if self.region_map is not None:
             rows = assign_regions(rows, self.region_map)
@@ -171,17 +177,23 @@ class CrawlJob:
             rows = filter_allowed(rows, self.spark, self.robots)
         if self.cfg.frontier_buckets is None and not self.frontier_t.exists():
             rows = rows.cache()
-            n_seeds = rows.count()
+            with prof.step("seed_count"):
+                n_seeds = rows.count()
             self.frontier_t.n_buckets = suggest_buckets(n_seeds * self.SEED_GROWTH_FACTOR)
-        self.frontier_t.write_full(rows, tag="epoch-0")
+        with prof.step("frontier_write"):
+            self.frontier_t.write_full(rows, tag="epoch-0")
         rows.unpersist()
         f = self.frontier_t.read(self.spark)
         if self.cfg.dedup and self.cfg.bloom_prefilter:
-            self.seen_t.write_full(
-                build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
-                tag="epoch-0",
-            )
-        return f.count()
+            with prof.step("seen_write"):
+                self.seen_t.write_full(
+                    build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
+                    tag="epoch-0",
+                )
+        with prof.step("final_count"):
+            n = f.count()
+        prof.emit()
+        return n
 
     def resume(self) -> int:
         """Heal after a kill: running -> initial (U4 resetRunningItems) on
@@ -291,23 +303,43 @@ class CrawlJob:
     # -- one epoch ----------------------------------------------------------
     def run_epoch(self, epoch: int) -> EpochStats:
         stats = EpochStats(epoch=epoch)
-        frontier = self.frontier_t.read(self.spark)
+        prof = _Prof(epoch)
+        nb = self.frontier_t.n_buckets
+        # one read of this epoch's frontier snapshot feeds the claim, the
+        # outlink anti-join, and (single-bucket layout) the merge itself —
+        # cached so the parquet scan happens once per epoch, not 3x. The
+        # post-claim intermediate version never needs re-reading: every
+        # claimed row's status is overwritten from the fetch results anyway,
+        # so the final merge over the PRE-claim snapshot commits the
+        # identical state (the claim snapshot stays on disk for resume).
+        frontier = self.frontier_t.read(self.spark, FRONTIER_SCHEMA).cache()
 
-        budget = self._adaptive_budget() if self.cfg.adaptive_budget else None
-        claimed, stats.claimed = claim_batch(
-            frontier, self.cfg, with_count=True, budget=budget
-        )
+        with prof.step("claim"):
+            budget = self._adaptive_budget() if self.cfg.adaptive_budget else None
+            claimed, stats.claimed = claim_batch(
+                frontier, self.cfg, with_count=True, budget=budget
+            )
         if stats.claimed == 0:
+            frontier.unpersist()
             stats.finished = not self.cfg.longliving
             return stats
         claimed = claimed.cache()
         dirty_claim: list[int] | None = None
         if self.claim_snapshot:
-            dirty_claim = self.frontier_t.bucket_ids_of(claimed)
-            fdirty = self.frontier_t.read_buckets(self.spark, dirty_claim, FRONTIER_SCHEMA)
-            self.frontier_t.merge_buckets(
-                mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
-            )
+            with prof.step("claim_snapshot"):
+                # single-bucket layout: the dirty set is trivially {0} and
+                # the dirty read IS the cached frontier — no collect job, no
+                # extra scan
+                if nb == 1:
+                    dirty_claim, fdirty = [0], frontier
+                else:
+                    dirty_claim = self.frontier_t.bucket_ids_of(claimed)
+                    fdirty = self.frontier_t.read_buckets(
+                        self.spark, dirty_claim, FRONTIER_SCHEMA
+                    )
+                self.frontier_t.merge_buckets(
+                    mark_running(fdirty, claimed), dirty_claim, tag=f"epoch-{epoch}-claim"
+                )
 
         # carry mode (batch <= carry_html_max_rows, the common politeness-
         # bounded epoch): raw html rides through the fetch UDF and the pages
@@ -335,36 +367,55 @@ class CrawlJob:
             else StorageLevel.MEMORY_AND_DISK
         )
         results = fetch_batch(claimed, self.corpus, fetcher).persist(level)
-        light = results.select(
-            "url", "url_hash", "host", "status", "retries_delta", "error",
-            "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
-        ).cache()
-
-        # 6-first: metrics lineage doubles as the epoch stats source — one
-        # pass over results instead of a separate agg job. The same agg also
-        # returns the claimed rows' dirty-bucket set (hosts' pmod buckets
-        # piggyback on the per-host metric rows) so the merge below needs no
-        # extra collect job (VERDICT r2 item 1b). host_hash == xxhash64(host)
-        # by construction (operators/frontier.frontier_rows).
-        nb = self.frontier_t.n_buckets
+        # 6-first: the metrics append doubles as the epoch-stats source — the
+        # sums (and the claimed rows' dirty-bucket set, VERDICT r2 item 1b)
+        # ride an Observation on the light frame, so materializing the fetch
+        # inside the metrics WRITE job yields them for free: no separate agg
+        # job ever runs. host_hash == xxhash64(host) by construction
+        # (operators/frontier.frontier_rows).
         host_bkt = F.pmod(F.xxhash64(F.col("host")), F.lit(nb)).cast("int")
-        metrics = epoch_metrics(light, epoch).cache()
-        agg = metrics.agg(
-            F.sum("completed"), F.sum("failed"), F.sum("blocked"),
-            F.sum("bytes_fetched"), F.collect_set(host_bkt),
-        ).collect()[0]
-        stats.completed = int(agg[0] or 0)
-        stats.failed = int(agg[1] or 0)
-        stats.blocked = int(agg[2] or 0)
-        stats.bytes_fetched = int(agg[3] or 0)
-        claim_bkts = [int(b) for b in (agg[4] or [])]
+        obs = Observation(f"epoch-{epoch}-stats")
+        light_sel = (
+            results.select(
+                "url", "url_hash", "host", "status", "retries_delta", "error",
+                "warc_ts", "outlinks", "bytes_fetched", "elapsed_ms",
+            )
+            .observe(
+                obs,
+                F.count(F.when(F.col("status") == Status.COMPLETED, 1)).alias("completed"),
+                F.count(
+                    F.when(
+                        (F.col("status") == Status.FAILED) & (F.col("retries_delta") > 0), 1
+                    )
+                ).alias("failed"),
+                F.count(
+                    F.when(
+                        (F.col("status") == Status.FAILED) & (F.col("retries_delta") == 0), 1
+                    )
+                ).alias("blocked"),
+                F.sum("bytes_fetched").alias("bytes"),
+                F.collect_set(host_bkt).alias("bkts"),
+            )
+        )
+        # the separate light cache only pays when results sit on DISK_ONLY
+        # (re-reading tens-of-KB html rows per consumer); an in-memory
+        # columnar cache already serves pruned column batches, so a second
+        # cache of the same columns would just burn a materialization pass
+        light = light_sel.cache() if level == StorageLevel.DISK_ONLY else light_sel
+        metrics = epoch_metrics(light, epoch)
         # metric rows are one per (epoch, host) — tiny relative to the batch;
         # writing them at inherited shuffle width cost ~4 s of empty-task
         # overhead per epoch in round 2 (VERDICT r2 item 1e)
-        self.metrics_t.append(
-            metrics.coalesce(max(1, stats.claimed // 500_000)), tag=f"epoch-{epoch}"
-        )
-        metrics.unpersist()
+        with prof.step("fetch_and_metrics_append"):
+            self.metrics_t.append(
+                metrics.coalesce(max(1, stats.claimed // 500_000)), tag=f"epoch-{epoch}"
+            )
+            agg = obs.get
+        stats.completed = int(agg["completed"] or 0)
+        stats.failed = int(agg["failed"] or 0)
+        stats.blocked = int(agg["blocked"] or 0)
+        stats.bytes_fetched = int(agg["bytes"] or 0)
+        claim_bkts = [int(b) for b in (agg["bkts"] or [])]
 
         # 3. pages append — columnar write replaces N S3 puts (S6/S7).
         if carry:
@@ -384,7 +435,8 @@ class CrawlJob:
             pages_rows = completed.join(corpus_hit, "url", "left").select(
                 "url", "item_key", "warc_ts", "html", "text", "lang"
             )
-        self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
+        with prof.step("pages_append"):
+            self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
 
         # 5. frontier growth: outlinks -> dedup -> new initial rows. The
         # anti-join target is the pre-merge frontier snapshot — the merge
@@ -408,7 +460,7 @@ class CrawlJob:
                     ),
                     tag=f"epoch-{epoch}-bootstrap",
                 )
-            seen = self.seen_t.read(self.spark)
+            seen = self.seen_t.read(self.spark, SEEN_SCHEMA)
             new_rows = filter_unseen(
                 candidates, seen, frontier, self.cfg.seen_buckets, scratch=scratch
             ).cache()
@@ -420,14 +472,30 @@ class CrawlJob:
             ).cache()
         else:
             new_rows = candidates.cache()  # reference semantics: dups permitted
-        # one job returns both the growth count and the new rows' dirty
-        # buckets (collect_set over <= n_buckets ints — VERDICT r2 item 1b)
-        grow = new_rows.agg(
-            F.count("*"),
-            F.collect_set(F.pmod(F.col("host_hash"), F.lit(nb)).cast("int")),
-        ).collect()[0]
-        stats.new_urls = int(grow[0])
-        new_bkts = [int(b) for b in (grow[1] or [])]
+        grow_obs = None
+        if nb == 1:
+            # single-bucket layout (a frontier below ~1M rows): the dirty set
+            # is trivially {0}, so the growth count rides an Observation on
+            # the merge write itself — NO pre-write job runs at all.
+            # (the cached pre-observe frame goes to scratch: unpersist must
+            # target the plan the cache was registered under, not the
+            # CollectMetrics wrapper)
+            scratch.append(new_rows)
+            grow_obs = Observation(f"epoch-{epoch}-growth")
+            new_rows = new_rows.observe(grow_obs, F.count(F.lit(1)).alias("n"))
+            new_bkts = [0]
+        else:
+            # bucketed layout (the 10^10 path): the dirty-bucket set must be
+            # known BEFORE the merge to scope its reads, so one tiny job
+            # returns both the growth count and the new rows' buckets
+            # (collect_set over <= n_buckets ints — VERDICT r2 item 1b)
+            with prof.step("growth_agg"):
+                grow = new_rows.agg(
+                    F.count("*"),
+                    F.collect_set(F.pmod(F.col("host_hash"), F.lit(nb)).cast("int")),
+                ).collect()[0]
+            stats.new_urls = int(grow[0])
+            new_bkts = [int(b) for b in (grow[1] or [])]
 
         # 4. status write-back + retryable-failed re-enqueue + new-row
         # admission, all in ONE dirty-bucket merge: buckets holding claimed
@@ -436,18 +504,27 @@ class CrawlJob:
         # dirty sets piggybacked on the stats/growth aggregates above, so
         # no extra driver job runs here.
         dirty = sorted(set(dirty_claim if dirty_claim is not None else claim_bkts) | set(new_bkts))
-        fdirty = self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
-        merged_dirty = reenqueue_failed(
-            merge_results(fdirty, light), self.cfg.retry_failed_items
-        )
-        self.frontier_t.merge_buckets(
-            merged_dirty.unionByName(new_rows.select(*FRONTIER_COLS)),
-            dirty,
-            tag=f"epoch-{epoch}",
-        )
+        with prof.step("frontier_merge_write"):
+            fdirty = (
+                frontier  # cached epoch snapshot IS the single dirty bucket
+                if nb == 1
+                else self.frontier_t.read_buckets(self.spark, dirty, FRONTIER_SCHEMA)
+            )
+            merged_dirty = reenqueue_failed(
+                merge_results(fdirty, light), self.cfg.retry_failed_items
+            )
+            self.frontier_t.merge_buckets(
+                merged_dirty.unionByName(new_rows.select(*FRONTIER_COLS)),
+                dirty,
+                tag=f"epoch-{epoch}",
+            )
+        if grow_obs is not None:
+            stats.new_urls = int(grow_obs.get["n"] or 0)
         if self.cfg.dedup and self.cfg.bloom_prefilter and stats.new_urls:
-            self._fold_into_seen(new_rows.select("url_hash"), tag=f"epoch-{epoch}")
+            with prof.step("seen_fold"):
+                self._fold_into_seen(new_rows.select("url_hash"), tag=f"epoch-{epoch}")
 
+        frontier.unpersist()
         claimed.unpersist()
         light.unpersist()
         results.unpersist()
@@ -461,18 +538,21 @@ class CrawlJob:
         # place (queue.model.ts:70-90) and have no such growth. keep_last
         # always covers the latest epoch-K tag, so kill-resume still works.
         if self.cfg.snapshot_gc_epochs and epoch % self.cfg.snapshot_gc_epochs == 0:
-            keep = self.cfg.snapshot_keep
-            for t in (self.frontier_t, self.pages_t, self.metrics_t, self.seen_t):
-                t.expire_snapshots(keep_last=keep)
+            with prof.step("snapshot_gc"):
+                keep = self.cfg.snapshot_keep
+                for t in (self.frontier_t, self.pages_t, self.metrics_t, self.seen_t):
+                    t.expire_snapshots(keep_last=keep)
 
         # 7. termination predicate (A2) — new initial rows (discoveries or
         # retryable re-enqueues) imply not-finished without another job
         if stats.new_urls > 0:
             stats.finished = False
         else:
-            stats.finished = not self.cfg.longliving and task_finished(
-                self.frontier_t.read(self.spark), self.cfg.retry_failed_items
-            )
+            with prof.step("finish_check"):
+                stats.finished = not self.cfg.longliving and task_finished(
+                    self.frontier_t.read(self.spark, FRONTIER_SCHEMA), self.cfg.retry_failed_items
+                )
+        prof.emit()
         return stats
 
     def run(self, seeds: DataFrame | None = None, max_epochs: int = 50) -> list[EpochStats]:

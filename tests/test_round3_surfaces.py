@@ -24,8 +24,8 @@ from crawling_infrastructure_spark.synth import fetch_outcome, seed_urls
 # -- bucket-count sizing rule (VERDICT r2 item 9) ----------------------------
 
 def test_suggest_buckets_rule():
-    assert suggest_buckets(0) == 8
-    assert suggest_buckets(10_000) == 8          # sandbox frontier: floor
+    assert suggest_buckets(0) == 1
+    assert suggest_buckets(10_000) == 1          # sandbox frontier: unbucketed
     assert suggest_buckets(20_000_000) == 32     # ~1M rows/bucket
     assert suggest_buckets(10_000_000_000) == 16384  # 10^10 design point
     assert suggest_buckets(10**14) == 16384      # hi clamp
@@ -52,14 +52,14 @@ def test_job_sizes_buckets_from_seed_count(spark, corpus, tmp_path):
     cfg = TaskConfig(task_id="auto", max_items_per_second=5)  # frontier_buckets=None
     job = CrawlJob(spark, str(tmp_path / "cat"), corpus, cfg, outcome_fn=fetch_outcome)
     job.init_task(seeds_from_list(spark, seed_urls(4)))
-    assert job.frontier_t.n_buckets == 8  # tiny seed list -> floor, not 64
+    assert job.frontier_t.n_buckets == 1  # tiny seed list -> unbucketed
     # resume path reopens with the persisted layout whatever the config says
     job2 = CrawlJob(
         spark, str(tmp_path / "cat"), corpus,
         TaskConfig(task_id="auto", max_items_per_second=5, frontier_buckets=512),
         outcome_fn=fetch_outcome,
     )
-    assert job2.frontier_t.n_buckets == 8
+    assert job2.frontier_t.n_buckets == 1
 
 
 # -- F8 formatBytes toFixed parity -------------------------------------------

@@ -1,0 +1,137 @@
+"""Interleaved A/B crawl benchmark between two git refs.
+
+Adjudicates performance changes on this noisy shared host the same way the
+round-2 review did: fresh JVM per trial, identical bench config (crawl mode,
+same page count, same cores), ALTERNATING refs so slow background-load drift
+hits both sides equally, a load gate before each trial, and a contamination
+check from /proc/loadavg sampled during the run. Reports best + per-trial
+detail and writes BENCH/ab_trials.json.
+
+Usage:
+    python tools/bench_ab.py <refA> <refB> [trials]
+refs are git refs ('.' = current working tree, uncommitted changes included).
+
+Env: SPARK_GRAFT_AB_PAGES (default 20000), SPARK_GRAFT_AB_CPUS (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_AB_PAGES", "20000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_AB_CPUS", "8"))
+
+
+def _load1() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 900) -> float:
+    t0 = time.time()
+    while True:
+        load = _load1()
+        if load < max_load or time.time() - t0 > timeout_s:
+            return load
+        print(f"load {load} >= {max_load}, waiting...", file=sys.stderr)
+        time.sleep(20)
+
+
+def workdir_for(ref: str) -> str:
+    if ref == ".":
+        return REPO
+    path = f"/tmp/ab_wt_{ref.replace('/', '_')}"
+    if not os.path.exists(os.path.join(path, "bench.py")):
+        subprocess.run(
+            ["git", "worktree", "add", "--force", path, ref],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    return path
+
+
+def run_once(ref: str, cwd: str, max_attempts: int = 3) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_MODE="crawl",
+        SPARK_GRAFT_CRAWL_PAGES=str(N_PAGES),
+        SPARK_GRAFT_CPUS=str(CPUS),
+    )
+    env.pop("SPARK_GRAFT_EPOCH_PROFILE", None)
+    for attempt in range(1, max_attempts + 1):
+        load_before = wait_for_quiet()
+        samples: list[float] = []
+        stop = threading.Event()
+
+        def sample():
+            while not stop.is_set():
+                samples.append(_load1())
+                time.sleep(5)
+
+        th = threading.Thread(target=sample, daemon=True)
+        th.start()
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            env=env, cwd=cwd,
+        )
+        stop.set()
+        th.join(timeout=6)
+        crawl = json.loads(out.stdout.strip().splitlines()[-1])["crawl"]
+        body = samples[2:] or samples
+        excess = [max(0.0, l - CPUS) for l in body]
+        r = {
+            "ref": ref,
+            "crawl_sec": crawl["crawl_sec"],
+            "init_sec": crawl["init_sec"],
+            "pages_per_sec": crawl["pages_per_sec"],
+            "pages_crawled": crawl["pages_crawled"],
+            "load_before": load_before,
+            "load_mean_excess": round(sum(excess) / max(len(excess), 1), 2),
+            "load_max": max(body) if body else 0.0,
+            "attempt": attempt,
+            "contaminated": False,
+        }
+        r["contaminated"] = r["load_mean_excess"] > 1.5
+        print(
+            f"trial ref={ref} crawl={r['crawl_sec']}s attempt={attempt} "
+            f"excess={r['load_mean_excess']}"
+            + (" CONTAMINATED, retrying" if r["contaminated"] and attempt < max_attempts else ""),
+            file=sys.stderr,
+        )
+        if not r["contaminated"] or attempt == max_attempts:
+            return r
+    raise RuntimeError("unreachable")
+
+
+def main() -> None:
+    ref_a, ref_b = sys.argv[1], sys.argv[2]
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    dirs = {r: workdir_for(r) for r in (ref_a, ref_b)}
+    all_trials: list[dict] = []
+    for _ in range(trials):
+        for ref in (ref_a, ref_b):
+            all_trials.append(run_once(ref, dirs[ref]))
+    summary = {}
+    for ref in (ref_a, ref_b):
+        clean = [t for t in all_trials if t["ref"] == ref and not t["contaminated"]]
+        pool = clean or [t for t in all_trials if t["ref"] == ref]
+        best = min(pool, key=lambda t: t["crawl_sec"])
+        summary[ref] = {
+            "best_crawl_sec": best["crawl_sec"],
+            "best_pages_per_sec": best["pages_per_sec"],
+            "clean_trials": len(clean),
+            "walls": sorted(t["crawl_sec"] for t in pool),
+        }
+    out = {"pages": N_PAGES, "cpus": CPUS, "summary": summary, "trials": all_trials}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ab_trials.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["summary"], indent=1))
+
+
+if __name__ == "__main__":
+    main()

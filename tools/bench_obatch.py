@@ -40,6 +40,11 @@ def run_size(spark, corpus, n_frontier: int) -> dict:
         max_items_per_host_per_epoch=BUDGET,
         retry_failed_items=1,
         bloom_prefilter=False,
+        # pin the bucketed layout under test: the default sizing rule
+        # (catalog.suggest_buckets) would give both frontier sizes the same
+        # small count at sandbox scale — the property this tool evidences is
+        # the many-bucket layout a 10^10 frontier gets
+        frontier_buckets=64,
     )
     job = CrawlJob(spark, root, corpus, cfg, claim_snapshot=False)
     # n_frontier URLs spread over 1000 hosts; most resolve to nothing (the

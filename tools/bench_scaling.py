@@ -137,6 +137,30 @@ def run_trials() -> tuple[dict, dict, list[dict]]:
 def main() -> None:
     gen_corpus()
     lo, hi, all_trials = run_trials()
+    # sanity gates before anything is published (round-2 lesson: a 9.2x
+    # intra-level spread and a lo>hi inversion got published as eff=0.10):
+    # refuse to produce a report from contaminated or physically implausible
+    # best-trials — more cores cannot make identical work slower on a quiet
+    # host, so an inversion means the measurement, not the engine.
+    problems = []
+    for name, r in (("lo", lo), ("hi", hi)):
+        if r.get("contaminated"):
+            problems.append(f"{name} best trial is contaminated (load excess {r['load_mean_excess']})")
+    for cpus in LEVELS:
+        n_clean = sum(1 for t in all_trials if t["cpus"] == cpus and not t["contaminated"])
+        if n_clean < 2:
+            problems.append(f"level local[{cpus}]: only {n_clean} clean trials (need >= 2)")
+    if lo["pages_per_sec"] > hi["pages_per_sec"]:
+        problems.append(
+            f"inverted scaling: lo {lo['pages_per_sec']} > hi {hi['pages_per_sec']} pages/s "
+            "— host contention, not engine behavior; rerun on a quieter window"
+        )
+    if problems:
+        for p in problems:
+            print(f"REFUSING to publish: {p}", file=sys.stderr)
+        with open("BENCH/scaling_trials.json", "w") as f:
+            json.dump({"trials": all_trials, "rejected": problems}, f, indent=1)
+        sys.exit(1)
     eff_pages = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4
     eff_urls = (hi["dedup_urls_per_sec"] / lo["dedup_urls_per_sec"]) / 4
     report = f"""# BENCH/BASELINE — measured throughput + scaling evidence
@@ -164,8 +188,8 @@ epoch.
 Reference comparison (BASELINE.md): the reference's implied peak task
 throughput is 200 items/s (its `max_items_per_second` hard cap) and its
 per-worker seed assumption is 0.5 items/s; this engine sustains
-{hi['pages_per_sec']} pages/s single-node at local[32] INCLUDING full
-extraction, dedup, and snapshot persistence.
+{hi['pages_per_sec']} pages/s single-node at local[{hi['cpus']}] INCLUDING
+full extraction, dedup, and snapshot persistence.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
