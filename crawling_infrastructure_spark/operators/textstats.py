@@ -77,13 +77,19 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish estimate (chars/4, the common
-    rule-of-thumb) + unique-token count."""
+    """Whitespace tokens, a BPE-ish regex tokenization (maximal runs of
+    letters / digits / other-non-space — the class structure of the GPT-2
+    pre-tokenizer pattern, kept to plain character classes so Java and RE2
+    engines agree), and the chars/4 rule-of-thumb estimate. All JVM
+    expressions — whole-stage codegen, no Python."""
     toks = F.split(F.col(text_col), " ")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.regexp_count(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).cast("long").alias("n_bpe_tokens"),
         F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
     )
 

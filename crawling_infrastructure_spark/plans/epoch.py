@@ -32,6 +32,7 @@ manifest commit = the race-free version of the reference's heartbeat healing.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -410,12 +411,11 @@ class CrawlJob:
             self.metrics_t.append(
                 metrics.coalesce(max(1, stats.claimed // 500_000)), tag=f"epoch-{epoch}"
             )
-            agg = obs.get
-        stats.completed = int(agg["completed"] or 0)
-        stats.failed = int(agg["failed"] or 0)
-        stats.blocked = int(agg["blocked"] or 0)
-        stats.bytes_fetched = int(agg["bytes"] or 0)
-        claim_bkts = [int(b) for b in (agg["bkts"] or [])]
+        # obs.get is NOT read here: the listener delivers metrics
+        # asynchronously after the action returns, so the .get blocks for
+        # free wall time if called back-to-back with the write — the stats
+        # are pulled at epoch end (or just-in-time below where the bucketed
+        # layout needs claim_bkts for the dirty set) while other jobs run
 
         # 3. pages append — columnar write replaces N S3 puts (S6/S7).
         if carry:
@@ -435,8 +435,22 @@ class CrawlJob:
             pages_rows = completed.join(corpus_hit, "url", "left").select(
                 "url", "item_key", "warc_ts", "html", "text", "lang"
             )
-        with prof.step("pages_append"):
-            self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
+        # the pages append and the frontier merge below touch DIFFERENT
+        # tables and both only consume the already-materialized fetch cache,
+        # so the pages job runs on a sibling thread while the driver builds
+        # and runs the merge — Spark schedules concurrent jobs from separate
+        # threads onto idle cores (both jobs are far narrower than the pool)
+        pages_err: list[BaseException] = []
+
+        def _pages_job():
+            try:
+                with prof.step("pages_append"):
+                    self.pages_t.append(pages_rows, tag=f"epoch-{epoch}")
+            except BaseException as e:  # surfaced after join below
+                pages_err.append(e)
+
+        pages_thread = threading.Thread(target=_pages_job, daemon=True)
+        pages_thread.start()
 
         # 5. frontier growth: outlinks -> dedup -> new initial rows. The
         # anti-join target is the pre-merge frontier snapshot — the merge
@@ -503,7 +517,15 @@ class CrawlJob:
         # appended, every other bucket is carried over by reference. The
         # dirty sets piggybacked on the stats/growth aggregates above, so
         # no extra driver job runs here.
-        dirty = sorted(set(dirty_claim if dirty_claim is not None else claim_bkts) | set(new_bkts))
+        # claim-side dirty buckets: the snapshot already collected them;
+        # otherwise (bucketed layout, no claim snapshot) pull them from the
+        # stats Observation just-in-time
+        claim_bkts = (
+            dirty_claim
+            if dirty_claim is not None
+            else ([0] if nb == 1 else [int(b) for b in (obs.get["bkts"] or [])])
+        )
+        dirty = sorted(set(claim_bkts) | set(new_bkts))
         with prof.step("frontier_merge_write"):
             fdirty = (
                 frontier  # cached epoch snapshot IS the single dirty bucket
@@ -518,6 +540,16 @@ class CrawlJob:
                 dirty,
                 tag=f"epoch-{epoch}",
             )
+        pages_thread.join()
+        if pages_err:
+            raise pages_err[0]
+        # pull the deferred Observation results now — the intervening jobs
+        # gave the listener ample time, so these return immediately
+        agg = obs.get
+        stats.completed = int(agg["completed"] or 0)
+        stats.failed = int(agg["failed"] or 0)
+        stats.blocked = int(agg["blocked"] or 0)
+        stats.bytes_fetched = int(agg["bytes"] or 0)
         if grow_obs is not None:
             stats.new_urls = int(grow_obs.get["n"] or 0)
         if self.cfg.dedup and self.cfg.bloom_prefilter and stats.new_urls:

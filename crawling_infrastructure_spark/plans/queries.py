@@ -820,6 +820,8 @@ WHERE rank <= 5
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
 FROM documents
 """,
