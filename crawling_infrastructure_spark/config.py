@@ -83,11 +83,24 @@ class TaskConfig:
     # semi-join — two extra corpus scans, the right trade only for giant
     # epochs over a corpus whose scan is cheap relative to batch volume.
     carry_html_max_rows: int = 1_000_000
+    # claims at or above this size resolve against the corpus with a
+    # SHUFFLE_HASH join hint (operators/fetch.resolve_against_corpus):
+    # a claim-all batch otherwise broadcasts and hands the Python fetch the
+    # corpus scan's byte-balanced but ROW-skewed splits (measured 4-17x
+    # fetch slowdown at 100k rows). Politeness-bounded epochs stay below
+    # this and keep the shuffle-free broadcast-resolve plan.
+    fetch_shuffle_min_rows: int = 25_000
     # fetch-output persist level: DISK_ONLY guarantees the one expensive
-    # Python pass never re-executes when the batch is big enough to evict
-    # from the memory pool (round-2 lesson: silent eviction re-ran the fetch
-    # 3x); below this row count MEMORY_AND_DISK skips the write+read cycle
-    disk_persist_min_rows: int = 100_000
+    # Python pass never re-executes when the batch is too big for the
+    # storage pool (round-2 lesson: a plain MEMORY_ONLY cache silently
+    # evicts and re-ran the fetch 3x); below this row count MEMORY_AND_DISK
+    # keeps the batch in memory (spilling, never recomputing) and skips the
+    # disk write+read cycle entirely — measured: forcing a 100k-row
+    # html-carrying batch (~2.5 GB) through DISK_ONLY cost the pages and
+    # merge consumers ~100 s each re-reading it from the (slow, shared)
+    # container disk. Threshold aligned with carry_html_max_rows: above it
+    # strip mode drops the heavy columns anyway.
+    disk_persist_min_rows: int = 1_000_000
     # snapshot GC: every K epochs expire all but the last `snapshot_keep`
     # versions of every task table (Iceberg expire_snapshots). Without it a
     # longliving crawl grows one manifest version + one dir-set per epoch

@@ -367,7 +367,12 @@ class CrawlJob:
             if stats.claimed >= self.cfg.disk_persist_min_rows
             else StorageLevel.MEMORY_AND_DISK
         )
-        results = fetch_batch(claimed, self.corpus, fetcher).persist(level)
+        results = fetch_batch(
+            claimed,
+            self.corpus,
+            fetcher,
+            shuffle=stats.claimed >= self.cfg.fetch_shuffle_min_rows,
+        ).persist(level)
         # 6-first: the metrics append doubles as the epoch-stats source — the
         # sums (and the claimed rows' dirty-bucket set, VERDICT r2 item 1b)
         # ride an Observation on the light frame, so materializing the fetch
@@ -435,11 +440,17 @@ class CrawlJob:
             pages_rows = completed.join(corpus_hit, "url", "left").select(
                 "url", "item_key", "warc_ts", "html", "text", "lang"
             )
-        # the pages append and the frontier merge below touch DIFFERENT
-        # tables and both only consume the already-materialized fetch cache,
-        # so the pages job runs on a sibling thread while the driver builds
-        # and runs the merge — Spark schedules concurrent jobs from separate
-        # threads onto idle cores (both jobs are far narrower than the pool)
+        # SMALL epochs only: the pages append and the frontier merge touch
+        # different tables and both consume the already-materialized
+        # in-memory fetch cache, so the pages job runs on a sibling thread
+        # while the driver builds and runs the merge — the two narrow jobs
+        # fill the idle scheduler slots between each other's stages
+        # (measured win at 20k-row epochs). For BIG batches the overlap is
+        # a measured catastrophe, not a win: two wide jobs concurrently
+        # re-inflating the html-bearing cache thrash memory+disk (100k-row
+        # epoch: 279s + 294s overlapped vs ~20s each serial) — so anything
+        # above the small-claim bound runs sequentially.
+        overlap = stats.claimed < self.cfg.fetch_shuffle_min_rows
         pages_err: list[BaseException] = []
 
         def _pages_job():
@@ -449,8 +460,11 @@ class CrawlJob:
             except BaseException as e:  # surfaced after join below
                 pages_err.append(e)
 
-        pages_thread = threading.Thread(target=_pages_job, daemon=True)
-        pages_thread.start()
+        if overlap:
+            pages_thread = threading.Thread(target=_pages_job, daemon=True)
+            pages_thread.start()
+        else:
+            _pages_job()
 
         # 5. frontier growth: outlinks -> dedup -> new initial rows. The
         # anti-join target is the pre-merge frontier snapshot — the merge
@@ -540,7 +554,8 @@ class CrawlJob:
                 dirty,
                 tag=f"epoch-{epoch}",
             )
-        pages_thread.join()
+        if overlap:
+            pages_thread.join()
         if pages_err:
             raise pages_err[0]
         # pull the deferred Observation results now — the intervening jobs
