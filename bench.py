@@ -66,6 +66,106 @@ class LoadSampler:
             "load_samples": len(s),
         }
 
+class CpuTracker:
+    """CPU-time + peak-RSS accounting for the whole process tree (python
+    driver + py4j JVM + pyspark worker daemons), the adjudication instrument
+    for wall-clock anomalies on this shared host (VERDICT r3 #2): engine work
+    is CPU-time-invariant under contention — neighbors inflate wall, not our
+    CPU — so a wall inversion with flat cpu_proc_sec is contention, while a
+    ballooning cpu_proc_sec is a real engine regression (GC, thrash).
+
+    Three independent signals per window:
+      cpu_proc_sec  sum of utime+stime+cutime+cstime over our process tree
+                    (walked via /proc ppid links; cutime/cstime fold in
+                    already-reaped python workers) — MUST be read while the
+                    JVM is alive, i.e. before spark.stop()
+      cpu_host_sec  delta of the root cpuacct (this sandbox's cpuacct cgroup
+                    is host-wide), so cpu_host_sec - cpu_proc_sec ~= CPU the
+                    neighbors burned during the window
+      rss_peak_gb   max VmHWM over the tree (the JVM dominates)
+    """
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.host0 = self._host_ns()
+        self.proc0, _, self.kind0 = self._proc_tree_stats()
+
+    @staticmethod
+    def _host_ns() -> int:
+        try:
+            with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+                return int(f.read())
+        except OSError:
+            return -1
+
+    @staticmethod
+    def _proc_tree_stats() -> tuple[float, float, dict[str, float]]:
+        """(cpu_sec, peak_rss_gb, cpu_by_kind) over self + all descendants.
+        cpu_by_kind splits own-CPU (not reaped-children CPU, which cannot be
+        attributed) by process name — 'java' (JVM: shuffle, GC, codegen,
+        parquet) vs 'python' (driver + pyspark workers: the fetch/extract
+        UDF path) — so a CPU-inflation diagnosis can say WHERE."""
+        me = os.getpid()
+        tck = os.sysconf("SC_CLK_TCK")
+        children: dict[int, list[int]] = {}
+        stats: dict[int, float] = {}
+        own: dict[int, tuple[str, float]] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            pid = int(entry)
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the LAST ')'
+            comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid = int(rest[1])  # field 4 overall
+            utime, stime, cutime, cstime = (int(x) for x in rest[11:15])
+            children.setdefault(ppid, []).append(pid)
+            stats[pid] = (utime + stime + cutime + cstime) / tck
+            own[pid] = (comm, (utime + stime) / tck)
+        cpu, rss_kb, stack = 0.0, 0, [me]
+        by_kind: dict[str, float] = {}
+        while stack:
+            pid = stack.pop()
+            cpu += stats.get(pid, 0.0)
+            if pid in own:
+                comm, t = own[pid]
+                kind = "java" if "java" in comm else (
+                    "python" if "python" in comm else "other"
+                )
+                by_kind[kind] = by_kind.get(kind, 0.0) + t
+            stack.extend(children.get(pid, []))
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            rss_kb = max(rss_kb, int(line.split()[1]))
+                            break
+            except OSError:
+                pass
+        return cpu, rss_kb / (1024 * 1024), by_kind
+
+    def finish(self) -> dict:
+        cpu, rss_gb, by_kind = self._proc_tree_stats()
+        host1 = self._host_ns()
+        out = {
+            "cpu_proc_sec": round(cpu - self.proc0, 1),
+            "rss_peak_gb": round(rss_gb, 2),
+            "cpu_by_kind": {
+                k: round(v - self.kind0.get(k, 0.0), 1) for k, v in by_kind.items()
+            },
+        }
+        if self.host0 >= 0 and host1 >= 0:
+            host = (host1 - self.host0) / 1e9
+            out["cpu_host_sec"] = round(host, 1)
+            out["cpu_neighbor_sec"] = round(max(0.0, host - cpu), 1)
+        return out
+
+
 HEADLINE_QUERIES = [
     "ranked_dequeue",
     "worker_meta_stats",
@@ -212,9 +312,21 @@ def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
     crawl_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "50000"))
 
+    # quiet-window gate (VERDICT r3 #5): this host's tenants burst 5-27 load
+    # with nothing of ours running; a bench line recorded under a burst is
+    # noise. Wait (bounded) for 1-min load below threshold before starting;
+    # the wait itself is recorded so a gated-but-still-loud run is visible.
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4"))
+    gate_timeout = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "600"))
+    waited = 0.0
+    while _loadavg1() >= gate and waited < gate_timeout:
+        time.sleep(15)
+        waited += 15
+
     from crawling_infrastructure_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=cpus)
+    cpu = CpuTracker()
     load = LoadSampler()
     out: dict = {"sf": sf_dir, "cpus": cpus}
     total = 0.0
@@ -238,6 +350,17 @@ def main() -> None:
     out["value"] = round(total, 1)
     out["unit"] = "sec"
     out.update(load.finish())
+    out.update(cpu.finish())  # must run BEFORE spark.stop(): walks the live JVM
+    try:
+        # GC wall via JMX: the adjudicator for JVM-CPU blow-ups — a trial
+        # whose cpu_proc balloons WITH gc_ms is a collector death spiral
+        # (memory pressure), not engine work or neighbors
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        out["gc_ms"] = sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+        out["gc_count"] = sum(beans.get(i).getCollectionCount() for i in range(beans.size()))
+    except Exception:
+        pass
+    out["quiet_wait_sec"] = waited
     spark.stop()
     print(json.dumps(out))
 

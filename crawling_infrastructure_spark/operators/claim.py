@@ -47,6 +47,52 @@ def rank_candidates(frontier: DataFrame) -> DataFrame:
     )
 
 
+_TOPK_BY = ["host", "priority", "epoch_added", "seq"]
+_TOPK_ASC = [True, False, True, True]  # claim_order within host; total (seq=url_hash)
+
+
+def _local_topk(initial: DataFrame, k: int) -> DataFrame:
+    """Per-partition per-host top-k pre-reduction — the piece that makes the
+    claim's window shuffle O(batch) instead of O(claimable frontier).
+
+    The global per-host top-k is contained in the union of each input
+    partition's per-host top-k (any row in the global top-k is in its own
+    partition's top-k for that host), so ranking downstream only has to
+    shuffle O(partitions x hosts_per_partition x k) surviving rows — at a
+    10^10-row frontier the full-frontier window shuffle this replaces was
+    the dominant per-epoch cost (VERDICT r3 plan audit). Runs as an
+    Arrow-batched mapInPandas (narrow transformation, no shuffle), folding
+    batch-local top-k into a running per-host accumulator so peak memory is
+    O(hosts_in_partition x k), not O(partition)."""
+
+    schema = initial.schema
+
+    def reduce(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            top = (
+                pdf.sort_values(_TOPK_BY, ascending=_TOPK_ASC, kind="mergesort")
+                .groupby("host", sort=False)
+                .head(k)
+            )
+            if acc is not None:
+                top = (
+                    pd.concat([acc, top])
+                    .sort_values(_TOPK_BY, ascending=_TOPK_ASC, kind="mergesort")
+                    .groupby("host", sort=False)
+                    .head(k)
+                )
+            acc = top
+        if acc is not None and len(acc):
+            yield acc
+
+    return initial.mapInPandas(reduce, schema)
+
+
 def _stratum_histogram(frontier: DataFrame, cap: int) -> list[tuple[int, int]]:
     """[(capped_host_count, n_hosts)] — the whole politeness stratification
     compressed to <= cap rows. Never materializes the window."""
@@ -67,6 +113,7 @@ def claim_batch(
     cfg: TaskConfig,
     with_count: bool = False,
     budget: int | None = None,
+    local_topk: bool = False,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Select this epoch's crawl batch under the politeness budget.
 
@@ -78,6 +125,16 @@ def claim_batch(
     ``with_count=True`` additionally returns the exact claimed-row count,
     already known from the histogram — callers (the epoch loop) skip a
     ``count()`` job on the result.
+
+    ``local_topk=True`` (the bucketed / 10^10 path, epoch loop at nb > 1):
+    once the histogram fixes the boundary stratum r*, only each host's top
+    (r*+1) rows can possibly be claimed, so a per-partition per-host top-k
+    pre-reduction (``_local_topk``) runs BEFORE the ranking window and the
+    shuffle handles O(budget)-ish survivors instead of every initial row.
+    The result is row-for-row identical to the plain path: per-host top-k
+    survives local reduction exactly, and host_rank computed on survivors
+    equals the global rank for every surviving row (a host's rank-r row has
+    exactly its r-1 claim-order predecessors surviving with it).
     """
     cap = cfg.max_items_per_host_per_epoch
     budget = cfg.epoch_budget if budget is None else max(budget, 0)
@@ -86,8 +143,10 @@ def claim_batch(
     # == size of host-rank stratum r
     total = sum(c * h for c, h in hist)
 
-    ranked = rank_candidates(frontier).filter(F.col("host_rank") <= cap)
+    initial = frontier.filter(F.col("status") == Status.INITIAL)
     if total <= budget:
+        src = _local_topk(initial, cap) if local_topk else frontier
+        ranked = rank_candidates(src).filter(F.col("host_rank") <= cap)
         return (ranked, total) if with_count else ranked
 
     # stratum[r] = row count at host_rank == r == #hosts with >= r capped
@@ -104,6 +163,8 @@ def claim_batch(
         cum += stratum[r_star]
     remainder = budget - cum
 
+    src = _local_topk(initial, r_star + 1) if local_topk else frontier
+    ranked = rank_candidates(src).filter(F.col("host_rank") <= cap)
     full = ranked.filter(F.col("host_rank") <= r_star)
     if remainder == 0:
         return (full, cum) if with_count else full

@@ -114,6 +114,34 @@ def q_ranked_dequeue(spark, sf_dir):
     )
 
 
+def q_claim_stratified_topk(spark, sf_dir):
+    """W1 at the 10^10 path (round 4): the FULL stratified budget claim —
+    capped-host histogram -> whole strata <= r* -> boundary-stratum top-k —
+    run through claim_batch's ``local_topk`` pre-reduction (operators/
+    claim.py:_local_topk, the per-partition per-host Arrow top-k that keeps
+    the ranking shuffle O(batch)). By construction the claimed set equals
+    the naive global ``ORDER BY (host_rank, priority DESC, epoch_added,
+    seq) LIMIT B`` — which is exactly what the DuckDB oracle computes, so
+    this entry pins the scale path's end-to-end row set, not just the
+    pytest identity with the plain path."""
+    from crawling_infrastructure_spark.config import TaskConfig
+    from crawling_infrastructure_spark.operators.claim import claim_batch
+
+    e = _t(spark, sf_dir, "events")
+    f = e.select(
+        F.col("user_id").cast("string").alias("host"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("status"),
+        (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int").alias("priority"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("epoch_added"),
+        F.col("event_id").alias("seq"),
+    )
+    cfg = TaskConfig(task_id="q_claim", max_items_per_host_per_epoch=3)
+    out = claim_batch(f, cfg, budget=333, local_topk=True)
+    return out.select(
+        "host", "seq", F.col("host_rank").cast("int").alias("host_rank")
+    ).orderBy("host", "seq")
+
+
 def q_reenqueue_predicate(spark, sf_dir):
     """U5 POST /enqueue re-enqueue-by-predicate (queue.service.ts:106-180):
     completed items whose stored result fails a user check flip back to
@@ -477,6 +505,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "progress_windows": q_progress_windows,
     "recent_completed": q_recent_completed,
     "ranked_dequeue": q_ranked_dequeue,
+    "claim_stratified_topk": q_claim_stratified_topk,
     "reenqueue_predicate": q_reenqueue_predicate,
     "last_finished": q_last_finished,
     "unique_visitors": q_unique_visitors,
@@ -704,6 +733,31 @@ SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events) WHERE rn <= 3
+""",
+    "claim_stratified_topk": """
+WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS host,
+         event_id % 4 AS status,
+         (event_id % 5) + 1 AS priority,
+         event_id % 3 AS epoch_added,
+         event_id AS seq
+  FROM events
+), ranked AS (
+  SELECT host, seq, priority, epoch_added,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC, epoch_added ASC, seq ASC
+         ) AS host_rank
+  FROM f WHERE status = 0
+), g AS (
+  SELECT host, seq, host_rank,
+         row_number() OVER (
+           ORDER BY host_rank ASC, priority DESC, epoch_added ASC, seq ASC
+         ) AS gr
+  FROM ranked WHERE host_rank <= 3
+)
+SELECT host, seq, CAST(host_rank AS INTEGER) AS host_rank
+FROM g WHERE gr <= 333 ORDER BY host, seq
 """,
     "reenqueue_predicate": """
 WITH q AS (

@@ -120,5 +120,11 @@ SEEN_SCHEMA = T.StructType(
         T.StructField("bucket_id", T.IntegerType(), False),
         T.StructField("n_items", T.LongType(), False),
         T.StructField("bloom", T.BinaryType(), False),
+        # packed SORTED uint64 url_hashes (little-endian, 8 B/key): the
+        # exact tier-2 membership store. Keeping it beside the bloom makes
+        # the whole URL-seen check self-contained in the seen table — the
+        # old tier-2 anti-join probed the frontier's url_hash column, an
+        # O(frontier) shuffle per epoch at the 10^10 design point.
+        T.StructField("hashes", T.BinaryType(), False),
     ]
 )

@@ -55,6 +55,10 @@ def get_spark(
         # at 32 cores than 8). 1024 records ~= 30 MB keeps workers in cache.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
         # the epoch persists its heavy fetch output DISK_ONLY (plans/epoch.py);
         # compressing those blocks (lz4) trades serial disk bandwidth for
         # parallel CPU — the right side of the trade at every cluster size

@@ -73,7 +73,7 @@ def run_seed_ingest(
         scratch: list = []
         if job.cfg.dedup and job.cfg.bloom_prefilter and job.seen_t.exists():
             rows = filter_unseen(
-                rows, job.seen_t.read(spark), current, job.cfg.seen_buckets,
+                rows, job.seen_t.read(spark), job.cfg.seen_buckets,
                 scratch=scratch,
             )
         else:
@@ -142,6 +142,13 @@ def _dedup_fn(key, pdf_iter, state: GroupState):
         if packed is not None and len(packed)
         else np.empty(0, dtype=np.uint64)
     )
+    # legacy-state guard: a checkpoint written by the pre-sorted (append-
+    # order) version of this operator violates the sorted invariant, and
+    # searchsorted against it would silently re-emit duplicates / drop fresh
+    # urls on resume. Verify once per state load — O(state) compare, the
+    # same order as the unavoidable deserialization — and sort only if dirty.
+    if len(seen) > 1 and (seen[:-1] > seen[1:]).any():
+        seen = np.sort(seen)
     out_url: list = []
     out_hash: list = []
     for pdf in pdf_iter:

@@ -150,6 +150,9 @@ def test_snapshot_gc_bounds_longliving_crawl(spark, corpus, tmp_path):
     cfg = TaskConfig(
         task_id="gc", max_items_per_second=1, epoch_seconds=3,  # budget 3/epoch
         longliving=True, snapshot_gc_epochs=gc_every, snapshot_keep=keep,
+        # few seen shards so the bucket-carryover dir floor (see dir_bound
+        # derivation below) stays well under the 50-epoch failure mode
+        seen_buckets=8,
     )
     job = CrawlJob(
         spark, str(tmp_path / "cat"), corpus, cfg,
@@ -161,13 +164,28 @@ def test_snapshot_gc_bounds_longliving_crawl(spark, corpus, tmp_path):
         assert s.claimed > 0, f"frontier drained at epoch {e}"
 
     # each table writes <=1 version/epoch here; GC every 4 keeping 6 bounds
-    # the manifest to keep + (writes since last GC) + current, NOT O(epochs)
+    # the manifest to keep + (writes since last GC) + compaction + current,
+    # NOT O(epochs)
     bound = keep + gc_every + 1
+    # dirs ON DISK (named v_<version>_<uuid>, catalog._new_data_dir): the
+    # append-mode tables would grow one dir per epoch forever without the
+    # GC hook's size-tiered compaction (50 dirs here). With it:
+    #   current version <= max_dirs(=keep+gc_every) + gc_every post-GC
+    #   appends, plus <= gc_every pre-compaction dirs that stay referenced
+    #   by not-yet-expired versions, plus the merged dir itself.
+    # Merge-mode bucketed tables (seen) have a different constant floor:
+    #   untouched buckets carry their dir by reference, so up to n_buckets
+    #   roots from old merges stay referenced (one per bucket — the same
+    #   >=1-file-per-partition floor an Iceberg table has), plus one root
+    #   per kept version.
+    # Both are O(keep + gc_every + n_buckets), independent of the 50 epochs.
+    dir_bound = (keep + gc_every) + 2 * gc_every + 1
+    assert cfg.seen_buckets + (keep + gc_every + 1) <= dir_bound
     for t in (job.frontier_t, job.pages_t, job.metrics_t, job.seen_t):
         versions = t.snapshots()
         assert len(versions) <= bound, f"{t.name}: {len(versions)} versions"
-        data_dirs = [d for d in os.listdir(t.dir) if d.startswith("data_")]
-        assert len(data_dirs) <= bound, f"{t.name}: {len(data_dirs)} dirs on disk"
+        data_dirs = [d for d in os.listdir(t.dir) if d.startswith("v_")]
+        assert len(data_dirs) <= dir_bound, f"{t.name}: {len(data_dirs)} dirs on disk"
 
     # kill-resume still works after GC: heal + next epoch run fine
     job2 = CrawlJob(

@@ -27,7 +27,7 @@ BUDGET = int(os.environ.get("SPARK_GRAFT_OBATCH_BUDGET", "2000"))
 EPOCHS = int(os.environ.get("SPARK_GRAFT_OBATCH_EPOCHS", "3"))
 
 
-def run_size(spark, corpus, n_frontier: int) -> dict:
+def run_size(spark, corpus, n_frontier: int, gc: bool = False) -> dict:
     from crawling_infrastructure_spark.config import TaskConfig
     from crawling_infrastructure_spark.plans.epoch import CrawlJob
     from pyspark.sql import functions as F
@@ -45,6 +45,11 @@ def run_size(spark, corpus, n_frontier: int) -> dict:
         # small count at sandbox scale — the property this tool evidences is
         # the many-bucket layout a 10^10 frontier gets
         frontier_buckets=64,
+        # gc=True folds snapshot expiry + append-table compaction into EVERY
+        # epoch so their cost shows up in the O(batch) evidence instead of
+        # being free off-bench (VERDICT r3 next-round #6)
+        snapshot_gc_epochs=1 if gc else 0,
+        snapshot_keep=3,
     )
     job = CrawlJob(spark, root, corpus, cfg, claim_snapshot=False)
     # n_frontier URLs spread over 1000 hosts; most resolve to nothing (the
@@ -57,14 +62,23 @@ def run_size(spark, corpus, n_frontier: int) -> dict:
     )
     job.init_task(seeds)
     walls = []
+    claim_walls = []
     for e in range(1, EPOCHS + 1):
+        # claim stage in isolation, through the REAL path (manifest-stat
+        # bucket pruning + local-top-k pre-reduction + ranking window,
+        # CrawlJob.claim_only): the VERDICT r3 #2 'claim is O(batch), not
+        # O(frontier)' property, measured directly
+        tc, n_claimed = job.claim_only()
+        claim_walls.append(round(tc, 2))
+        assert n_claimed == BUDGET, (n_claimed, BUDGET)
         t0 = time.time()
         s = job.run_epoch(e)
         walls.append(round(time.time() - t0, 2))
         assert s.claimed == BUDGET, (s.claimed, BUDGET)
     shutil.rmtree(root, ignore_errors=True)
     return {"frontier_rows": n_frontier, "claim": BUDGET, "epoch_walls": walls,
-            "best_epoch_wall": min(walls)}
+            "best_epoch_wall": min(walls), "claim_walls": claim_walls,
+            "best_claim_wall": min(claim_walls), "gc_compact": gc}
 
 
 def main() -> None:
@@ -78,10 +92,22 @@ def main() -> None:
     load = open("/proc/loadavg").read().split()[0]
     results = [run_size(spark, corpus, n) for n in SIZES]
     ratio = results[-1]["best_epoch_wall"] / results[0]["best_epoch_wall"]
+    claim_ratio = results[-1]["best_claim_wall"] / results[0]["best_claim_wall"]
     growth = SIZES[-1] / SIZES[0]
+    # per-epoch fixed cost of GC + compaction: same small-size run with
+    # expiry+compaction folded into every epoch
+    gc_run = run_size(spark, corpus, SIZES[0], gc=True)
+    gc_overhead = round(
+        sum(gc_run["epoch_walls"]) / len(gc_run["epoch_walls"])
+        - sum(results[0]["epoch_walls"]) / len(results[0]["epoch_walls"]),
+        2,
+    )
     print(json.dumps({
         "cpus": cpus, "load_before": float(load), "results": results,
         "frontier_growth": growth, "epoch_wall_ratio": round(ratio, 2),
+        "claim_wall_ratio": round(claim_ratio, 2),
+        "gc_compact_every_epoch": gc_run,
+        "gc_compact_overhead_sec_per_epoch": gc_overhead,
     }))
     spark.stop()
 

@@ -77,6 +77,7 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_CRAWL_PAGES=str(N_PAGES),
         SPARK_GRAFT_CORPUS=CORPUS,
+        SPARK_GRAFT_BENCH_QUIET_TIMEOUT="0",  # this harness gates quiet itself
     )
     for attempt in range(1, max_attempts + 1):
         load_before = wait_for_quiet()
@@ -90,24 +91,55 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
 
         th = threading.Thread(target=sample, daemon=True)
         th.start()
+        # taskset-pin the whole process tree to exactly `cpus` CPUs: without
+        # it "local[N]" free-rides JVM service threads (JIT, GC, netty
+        # shuffle, parquet writers, python daemons) on the idle cores —
+        # measured: a local[2] trial burned 3.7 cores of process CPU — which
+        # makes the lo level unfairly fast and UNDERSTATES scaling
+        # efficiency. A real N-core executor confines all of that to N
+        # cores; the pin is what makes two local levels a faithful proxy for
+        # two cluster sizes.
+        cmd = [sys.executable, "bench.py"]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, "bench.py"],
+            cmd,
             capture_output=True, text=True, env=env,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
         stop.set()
         th.join(timeout=6)
         line = out.stdout.strip().splitlines()[-1]
-        res = json.loads(line)["scaling"]
+        top = json.loads(line)
+        res = top["scaling"]
         res["cpus"] = cpus
         res["load_before"] = float(load_before)
+        # CPU-time + RSS adjudication signals (VERDICT r3 #2): cpu_proc_sec
+        # is OUR process tree's CPU — invariant under neighbor contention,
+        # inflated by real engine overhead (GC, oversubscription thrash);
+        # cpu_neighbor_sec is what the rest of the host burned meanwhile.
+        for k in (
+            "cpu_proc_sec", "cpu_host_sec", "cpu_neighbor_sec", "rss_peak_gb",
+            "gc_ms", "gc_count",
+        ):
+            if k in top:
+                res[k] = top[k]
         # ignore the JVM-startup head where load hasn't ramped yet
         body = samples[2:] or samples
         excess = [max(0.0, l - cpus) for l in body]
         res["load_mean_excess"] = round(sum(excess) / max(len(excess), 1), 2)
         res["load_max"] = max(body) if body else 0.0
         res["attempt"] = attempt
-        contaminated = res["load_mean_excess"] > 1.5
+        # two independent contamination signals: (a) loadavg excess — blind
+        # to neighbors sharing the PINNED cores once total load < cpus, so
+        # also (b) neighbor CPU share from the host cpuacct delta (a burst
+        # anywhere steals the pinned cores' time and bandwidth; measured: a
+        # 441 s local[8] trial passed the loadavg gate with excess 0.13)
+        neighbor_share = (res.get("cpu_neighbor_sec") or 0.0) / max(
+            res.get("cpu_proc_sec") or 1.0, 1.0
+        )
+        res["neighbor_share"] = round(neighbor_share, 2)
+        contaminated = res["load_mean_excess"] > 1.5 or neighbor_share > 0.5
         print(
             f"trial cpus={cpus} wall={res['wall_sec']} attempt={attempt} "
             f"excess={res['load_mean_excess']} max={res['load_max']}"
@@ -134,6 +166,39 @@ def run_trials() -> tuple[dict, dict, list[dict]]:
     return best[LEVELS[0]], best[LEVELS[1]], all_trials
 
 
+def adjudicate_cpu(lo: dict, hi: dict) -> str:
+    """Classify a wall-clock anomaly between the two levels using process
+    CPU time (VERDICT r3 #2): identical work at higher parallelism must burn
+    ~the same cpu_proc_sec; contention inflates wall (and cpu_neighbor_sec),
+    a real engine regression inflates cpu_proc_sec itself."""
+    c_lo, c_hi = lo.get("cpu_proc_sec"), hi.get("cpu_proc_sec")
+    if not c_lo or not c_hi:
+        return "CPU adjudication unavailable (no cpu_proc_sec in trials)."
+    ratio = c_hi / c_lo
+    nb_lo = lo.get("cpu_neighbor_sec", 0) or 0
+    nb_hi = hi.get("cpu_neighbor_sec", 0) or 0
+    lines = [
+        f"CPU-time adjudication: cpu_proc lo(local[{lo['cpus']}])={c_lo}s, "
+        f"hi(local[{hi['cpus']}])={c_hi}s (ratio {ratio:.2f}); "
+        f"neighbor CPU during trials: lo={nb_lo}s, hi={nb_hi}s; "
+        f"peak RSS lo={lo.get('rss_peak_gb')}GB, hi={hi.get('rss_peak_gb')}GB.",
+    ]
+    if hi["wall_sec"] > lo["wall_sec"]:  # inverted wall
+        if ratio <= 1.5:
+            lines.append(
+                "Wall inverted but process CPU is flat -> the engine did the "
+                "same work at both levels; the extra wall is external "
+                "(host contention / scheduling), not an engine regression."
+            )
+        else:
+            lines.append(
+                "Process CPU itself balloons at the higher level -> a real "
+                "engine-side parallel overhead (GC/memory thrash/"
+                "oversubscription), NOT neighbor noise. Fix before publishing."
+            )
+    return "\n".join(lines)
+
+
 def main() -> None:
     gen_corpus()
     lo, hi, all_trials = run_trials()
@@ -155,11 +220,36 @@ def main() -> None:
             f"inverted scaling: lo {lo['pages_per_sec']} > hi {hi['pages_per_sec']} pages/s "
             "— host contention, not engine behavior; rerun on a quieter window"
         )
+    verdict_cpu = adjudicate_cpu(lo, hi)
     if problems:
         for p in problems:
             print(f"REFUSING to publish: {p}", file=sys.stderr)
         with open("BENCH/scaling_trials.json", "w") as f:
             json.dump({"trials": all_trials, "rejected": problems}, f, indent=1)
+        # the refusal must also REPLACE the published artifact — leaving a
+        # previous (possibly discredited) report in place misleads every
+        # reader of the artifact tree (VERDICT r3 #1)
+        os.makedirs("BENCH", exist_ok=True)
+        trial_rows = "\n".join(
+            f"| local[{t['cpus']}] | {t['wall_sec']} | {t.get('cpu_proc_sec', '-')} | "
+            f"{t.get('cpu_neighbor_sec', '-')} | {t.get('rss_peak_gb', '-')} | "
+            f"{t['load_before']} | {t['load_mean_excess']} | "
+            f"{'yes' if t['contaminated'] else 'no'} |"
+            for t in all_trials
+        )
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH/BASELINE — scaling efficiency: UNMEASURED (trials rejected)\n\n"
+                "The contamination/plausibility gates refused to publish an efficiency\n"
+                "number from this run. Rejection reasons:\n\n"
+                + "".join(f"- {p}\n" for p in problems)
+                + f"\n{verdict_cpu}\n\n"
+                "Per-trial evidence (full data: BENCH/scaling_trials.json):\n\n"
+                "| level | wall (s) | cpu_proc (s) | cpu_neighbor (s) | rss peak (GB) "
+                "| load_before | load_excess | contaminated |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+                + trial_rows + "\n"
+            )
         sys.exit(1)
     eff_pages = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4
     eff_urls = (hi["dedup_urls_per_sec"] / lo["dedup_urls_per_sec"]) / 4
@@ -169,21 +259,27 @@ Same job (one steady-state claim-all crawl epoch: window-ranked claim,
 mapInPandas fetch/extract, exact outlink dedup, dirty-bucket frontier merge,
 pages/metrics snapshot writes) on IDENTICAL input: {N_PAGES} synthetic
 Common-Crawl-style pages (weight={WEIGHT}, ~10-30 KB HTML each, Zipf hosts),
-pre-generated at `{CORPUS}`. Fresh JVM per level, best of {TRIALS}
-interleaved trials; each trial waits for 1-min load < 3 before starting
-(shared host — tenant bursts of 5-27 otherwise invert measurements).
+pre-generated at `{CORPUS}`. Fresh JVM per level, **taskset-pinned to
+exactly N CPUs** (so JVM service threads — JIT, GC, shuffle, writers —
+share the N cores precisely as they would on an N-core executor node,
+instead of free-riding idle cores and flattering the small level), best
+of {TRIALS} interleaved trials; each trial waits for 1-min load < 3 before
+starting (shared host — tenant bursts of 5-27 otherwise invert
+measurements).
 One-time task setup (init_task: seed canonicalization + first frontier
 write) is reported separately — the north-rule metric is crawl-LOOP
 throughput, and at a 10^10-URL frontier init happens once per task, not per
 epoch.
 
-| parallelism | epoch wall (s) | init (s) | pages crawled | pages/s | dedup URLs/s | load_before |
-|---|---|---|---|---|---|---|
-| local[{lo['cpus']}]  (N)  | {lo['wall_sec']} | {lo.get('init_sec', '-')} | {lo['pages_crawled']} | {lo['pages_per_sec']} | {lo['dedup_urls_per_sec']} | {lo['load_before']} |
-| local[{hi['cpus']}] (4N) | {hi['wall_sec']} | {hi.get('init_sec', '-')} | {hi['pages_crawled']} | {hi['pages_per_sec']} | {hi['dedup_urls_per_sec']} | {hi['load_before']} |
+| parallelism | epoch wall (s) | init (s) | pages crawled | pages/s | dedup URLs/s | cpu_proc (s) | cpu_neighbor (s) | rss peak (GB) | load_before |
+|---|---|---|---|---|---|---|---|---|---|
+| local[{lo['cpus']}]  (N)  | {lo['wall_sec']} | {lo.get('init_sec', '-')} | {lo['pages_crawled']} | {lo['pages_per_sec']} | {lo['dedup_urls_per_sec']} | {lo.get('cpu_proc_sec', '-')} | {lo.get('cpu_neighbor_sec', '-')} | {lo.get('rss_peak_gb', '-')} | {lo['load_before']} |
+| local[{hi['cpus']}] (4N) | {hi['wall_sec']} | {hi.get('init_sec', '-')} | {hi['pages_crawled']} | {hi['pages_per_sec']} | {hi['dedup_urls_per_sec']} | {hi.get('cpu_proc_sec', '-')} | {hi.get('cpu_neighbor_sec', '-')} | {hi.get('rss_peak_gb', '-')} | {hi['load_before']} |
 
 **Scaling efficiency (pages/s): {eff_pages:.2f}** — (thr_4N / thr_N) / 4
 **Scaling efficiency (dedup URLs/s): {eff_urls:.2f}**
+
+{verdict_cpu}
 
 Reference comparison (BASELINE.md): the reference's implied peak task
 throughput is 200 items/s (its `max_items_per_second` hard cap) and its
