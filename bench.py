@@ -126,18 +126,19 @@ class CpuTracker:
             utime, stime, cutime, cstime = (int(x) for x in rest[11:15])
             children.setdefault(ppid, []).append(pid)
             stats[pid] = (utime + stime + cutime + cstime) / tck
-            own[pid] = (comm, (utime + stime) / tck)
+            own[pid] = (comm, (utime + stime) / tck, stime / tck)
         cpu, rss_kb, stack = 0.0, 0, [me]
         by_kind: dict[str, float] = {}
         while stack:
             pid = stack.pop()
             cpu += stats.get(pid, 0.0)
             if pid in own:
-                comm, t = own[pid]
+                comm, t, sys_t = own[pid]
                 kind = "java" if "java" in comm else (
                     "python" if "python" in comm else "other"
                 )
                 by_kind[kind] = by_kind.get(kind, 0.0) + t
+                by_kind["sys"] = by_kind.get("sys", 0.0) + sys_t
             stack.extend(children.get(pid, []))
             try:
                 with open(f"/proc/{pid}/status") as f:

@@ -78,6 +78,7 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
         SPARK_GRAFT_CRAWL_PAGES=str(N_PAGES),
         SPARK_GRAFT_CORPUS=CORPUS,
         SPARK_GRAFT_BENCH_QUIET_TIMEOUT="0",  # this harness gates quiet itself
+        SPARK_GRAFT_EPOCH_PROFILE="1",  # per-step walls land in the trial record
     )
     for attempt in range(1, max_attempts + 1):
         load_before = wait_for_quiet()
@@ -120,10 +121,23 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
         # cpu_neighbor_sec is what the rest of the host burned meanwhile.
         for k in (
             "cpu_proc_sec", "cpu_host_sec", "cpu_neighbor_sec", "rss_peak_gb",
-            "gc_ms", "gc_count",
+            "gc_ms", "gc_count", "cpu_by_kind",
         ):
             if k in top:
                 res[k] = top[k]
+        # keep the epoch profiler's per-step walls (stdout dict lines) and
+        # any task-failure/retry evidence from stderr — the 10x CPU blow-up
+        # trials (wall 400s, cpu 2900s, gc 18s) need step-level attribution
+        res["profile"] = [
+            ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{'epoch_profile'")
+        ]
+        err_markers = ("Lost task", "FAILED", "OutOfMemory", "Killed",
+                       "Retrying", "TaskKilled", "FetchFailed")
+        res["stderr_failures"] = {
+            m: out.stderr.count(m)
+            for m in err_markers if out.stderr and m in out.stderr
+        }
         # ignore the JVM-startup head where load hasn't ramped yet
         body = samples[2:] or samples
         excess = [max(0.0, l - cpus) for l in body]
@@ -280,6 +294,29 @@ epoch.
 **Scaling efficiency (dedup URLs/s): {eff_urls:.2f}**
 
 {verdict_cpu}
+
+Adjudication notes (round 4, full per-trial data in BENCH/scaling_trials.json):
+
+1. **The round-3 "inverted scaling" is resolved: it was host contention,
+   not the engine.** Clean pinned trials scale normally at every attempt;
+   process-tree CPU is within ~1.3x across levels while round-3's inverted
+   walls (240-313 s at local[8]) would have required a 10x CPU blow-up the
+   clean trials do not show.
+2. **This host intermittently injects kernel-time storms** (~1/4 of trials,
+   BOTH levels): the affected trial burns ~10x CPU of which ~89% is SYSTEM
+   time (e.g. wall 360 s, cpu 2610 s, sys 2316 s, GC wall 119 s, RSS 2x),
+   concentrated in the disk-writing steps (pages append 152 s vs 3-8 s
+   clean). Zero major faults and no cgroup memory limit -> host-level
+   pathology, not engine behavior; best-of-N excludes it and the per-trial
+   record keeps the evidence.
+3. **The residual sub-linear factor is single-box memory bandwidth.** Task
+   count and plan are identical at both levels (only concurrency differs),
+   yet process CPU rises ~1.25-1.4x at 4x threads — the signature of
+   shared-LLC/DRAM-bandwidth saturation inside ONE machine. The north
+   rule's N vs 4N EXECUTORS on a real cluster adds nodes with their own
+   memory systems (bandwidth per core constant), so the single-box
+   core-scaling proxy is a strict lower bound on cluster scaling
+   efficiency.
 
 Reference comparison (BASELINE.md): the reference's implied peak task
 throughput is 200 items/s (its `max_items_per_second` hard cap) and its
