@@ -131,10 +131,16 @@ def claim_batch(
     (r*+1) rows can possibly be claimed, so a per-partition per-host top-k
     pre-reduction (``_local_topk``) runs BEFORE the ranking window and the
     shuffle handles O(budget)-ish survivors instead of every initial row.
-    The result is row-for-row identical to the plain path: per-host top-k
-    survives local reduction exactly, and host_rank computed on survivors
-    equals the global rank for every surviving row (a host's rank-r row has
-    exactly its r-1 claim-order predecessors surviving with it).
+    The pre-reduction sees only a SLIM 5-column projection (the claim-order
+    columns + url_hash) — the Arrow round-trip would otherwise re-introduce
+    an O(initial-rows x row-width) term — and the full frontier rows are
+    re-attached to the budget-filtered winners afterwards with one
+    O(claimed) equi-join. Requires url_hash-unique frontiers (the dedup=True
+    invariant; the epoch loop only enables this path under it). The result
+    is row-for-row identical to the plain path: per-host top-k survives
+    local reduction exactly, and host_rank computed on survivors equals the
+    global rank for every surviving row (a host's rank-r row has exactly
+    its r-1 claim-order predecessors surviving with it).
     """
     cap = cfg.max_items_per_host_per_epoch
     budget = cfg.epoch_budget if budget is None else max(budget, 0)
@@ -143,11 +149,33 @@ def claim_batch(
     # == size of host-rank stratum r
     total = sum(c * h for c, h in hist)
 
+    cols = frontier.columns
     initial = frontier.filter(F.col("status") == Status.INITIAL)
+
+    def ranked_for(k: int) -> DataFrame:
+        if not local_topk:
+            return rank_candidates(frontier).filter(F.col("host_rank") <= cap)
+        # already initial-filtered upstream; the slim projection has no
+        # status column, so rank directly instead of via rank_candidates
+        slim = initial.select("host", "priority", "epoch_added", "seq", "url_hash")
+        w = Window.partitionBy("host").orderBy(*claim_order())
+        return (
+            _local_topk(slim, k)
+            .withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= cap)
+        )
+
+    def attach(claimed_slim: DataFrame) -> DataFrame:
+        """Slim winners -> full frontier rows + host_rank (O(claimed) join;
+        the winners side is budget-bounded, AQE broadcasts it)."""
+        if not local_topk:
+            return claimed_slim
+        keys = claimed_slim.select("url_hash", "host_rank")
+        return initial.join(keys, "url_hash").select(*cols, "host_rank")
+
     if total <= budget:
-        src = _local_topk(initial, cap) if local_topk else frontier
-        ranked = rank_candidates(src).filter(F.col("host_rank") <= cap)
-        return (ranked, total) if with_count else ranked
+        out_all = attach(ranked_for(cap))
+        return (out_all, total) if with_count else out_all
 
     # stratum[r] = row count at host_rank == r == #hosts with >= r capped
     # candidates: one O(cap) suffix sum over the histogram, not an
@@ -163,17 +191,16 @@ def claim_batch(
         cum += stratum[r_star]
     remainder = budget - cum
 
-    src = _local_topk(initial, r_star + 1) if local_topk else frontier
-    ranked = rank_candidates(src).filter(F.col("host_rank") <= cap)
+    ranked = ranked_for(r_star + 1)
     full = ranked.filter(F.col("host_rank") <= r_star)
     if remainder == 0:
-        return (full, cum) if with_count else full
+        return (attach(full), cum) if with_count else attach(full)
     boundary = (
         ranked.filter(F.col("host_rank") == r_star + 1)
         .orderBy(*claim_order())
         .limit(remainder)
     )
-    out = full.unionByName(boundary)
+    out = attach(full.unionByName(boundary))
     return (out, budget) if with_count else out
 
 

@@ -357,7 +357,7 @@ class CrawlJob:
         frontier, claim_src = self._claim_frame()
         claimed = claim_batch(
             claim_src, self.cfg, budget=budget,
-            local_topk=self.frontier_t.n_buckets > 1,
+            local_topk=self.frontier_t.n_buckets > 1 and self.cfg.dedup,
         )
         n = claimed.count()
         frontier.unpersist()
@@ -379,7 +379,9 @@ class CrawlJob:
             budget = self._adaptive_budget() if self.cfg.adaptive_budget else None
             claimed, stats.claimed = claim_batch(
                 claim_src, self.cfg, with_count=True, budget=budget,
-                local_topk=nb > 1,
+                # the slim-join scale path assumes url_hash-unique frontiers
+                # (claim_batch docstring) — exactly the dedup invariant
+                local_topk=nb > 1 and self.cfg.dedup,
             )
         if stats.claimed == 0:
             frontier.unpersist()
