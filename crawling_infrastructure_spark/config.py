@@ -122,3 +122,86 @@ class TaskConfig:
     def epoch_budget(self) -> int:
         """Global dequeue budget per epoch = rate x epoch length, >= 1."""
         return max(1, int(self.max_items_per_second * self.epoch_seconds))
+
+
+# ---------------------------------------------------------------------------
+# P6: update-field whitelist (crawltask.service.ts:923-1000 updateCrawlTask).
+# Once a task exists, only these properties may change. Keys outside the
+# whitelist are silently DROPPED (the reference builds `update` from allowed
+# keys only and never errors on extras).
+ALLOWED_UPDATE_KEYS = frozenset({
+    "status", "max_lost_workers", "retry_failed_items", "max_items_per_worker",
+    "priority", "priority_policy", "function", "longliving", "max_workers",
+    "max_items_per_second", "crawl_options", "whitelisted_proxies",
+    "num_lost_workers", "log_ip_address", "num_workers_running",
+    "function_code", "name",
+})
+
+# Fields with a direct TaskConfig analogue; everything else whitelisted but
+# lambda-/REST-specific lands in cfg.extra so a reference task JSON
+# round-trips unchanged.
+_DIRECT_FIELDS = frozenset({
+    "retry_failed_items", "max_items_per_worker", "priority",
+    "priority_policy", "longliving", "max_items_per_second",
+})
+
+
+def update_task(cfg: TaskConfig, updates: dict) -> TaskConfig:
+    """Apply a reference-shaped update payload to a task config.
+
+    Returns a NEW TaskConfig; `cfg` is untouched (the reference mutates the
+    Mongo document, but an immutable copy is the Spark-side idiom — the old
+    config may still be referenced by a running epoch).
+
+    Validation mirrors crawltask.service.ts:939-1000 exactly, including its
+    operator quirks: `retry_failed_items` (ts:945-949) and
+    `num_lost_workers` (ts:985-989) use `||` and genuinely enforce their
+    ranges, while `max_lost_workers` / `max_workers` /
+    `max_items_per_worker` / `priority` / `num_workers_running` (ts:951-981)
+    write `x < 0 && x > N` — an always-false conjunction — so for those only
+    the typeof-number check can actually reject. `max_items_per_second`
+    (ts:939-943) says "must be positive number" but tests only typeof.
+    Replicating the quirk is deliberate: a payload the reference accepts
+    must be accepted here, byte-for-byte semantics over intent.
+
+    Falsy values (0, false, "") skip validation entirely in the reference
+    (`if (update.x)`) — also replicated.
+
+    Raises ValueError with the reference's error string on rejection.
+    """
+    update = {k: v for k, v in updates.items() if k in ALLOWED_UPDATE_KEYS}
+
+    def _num(v) -> bool:
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    if update.get("max_items_per_second"):
+        if not _num(update["max_items_per_second"]):
+            raise ValueError("max_items_per_second must be positive number")
+    if update.get("retry_failed_items"):
+        v = update["retry_failed_items"]
+        if not _num(v) or v < 0 or v > 10:
+            raise ValueError("retry_failed_items must be number in range [0,10]")
+    if update.get("num_lost_workers"):
+        v = update["num_lost_workers"]
+        if not _num(v) or v < 0 or v > 1000:
+            raise ValueError("num_lost_workers must be number in range [0,1000]")
+    # the &&-quirk group: only typeof can reject (see docstring)
+    for key, rng in (
+        ("max_lost_workers", "[0,1000]"),
+        ("max_workers", "[0,500]"),
+        ("max_items_per_worker", "[0,500]"),
+        ("priority", "[0,10]"),
+    ):
+        if update.get(key) and not _num(update[key]):
+            raise ValueError(f"{key} must be number in range {rng}")
+    if update.get("num_workers_running") and not _num(update["num_workers_running"]):
+        raise ValueError("num_workers_running must be number larger 0")
+
+    import dataclasses
+
+    direct = {k: v for k, v in update.items() if k in _DIRECT_FIELDS}
+    rest = {k: v for k, v in update.items() if k not in _DIRECT_FIELDS}
+    new = dataclasses.replace(cfg, **direct)
+    if rest:
+        new.extra = {**cfg.extra, **rest}
+    return new

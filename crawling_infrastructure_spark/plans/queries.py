@@ -134,6 +134,9 @@ def q_claim_stratified_topk(spark, sf_dir):
         (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int").alias("priority"),
         F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("epoch_added"),
         F.col("event_id").alias("seq"),
+        # unique per row (event_id is the table key) — the slim-join path's
+        # url_hash-unique invariant the epoch loop gets from dedup=True
+        F.col("event_id").alias("url_hash"),
     )
     cfg = TaskConfig(task_id="q_claim", max_items_per_host_per_epoch=3)
     out = claim_batch(f, cfg, budget=333, local_topk=True)

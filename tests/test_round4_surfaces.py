@@ -204,3 +204,51 @@ def test_bucketed_compact_small(spark, tmp_path):
     assert all(len(d) <= 2 for d in t._current_buckets().values())
     assert {r["k"] for r in t.read(spark).collect()} == before
     assert t.compact_small(spark, max_dirs=2) is None
+
+
+# ---------------------------------------------------------------------------
+# P6 update-field whitelist (crawltask.service.ts:923-1000)
+
+
+def test_update_task_whitelist_and_validation():
+    from crawling_infrastructure_spark.config import TaskConfig, update_task
+    import pytest as _pytest
+
+    cfg = TaskConfig(task_id="t", priority=1)
+
+    # allowed direct fields apply; original untouched (immutability)
+    new = update_task(cfg, {"priority": 7, "retry_failed_items": 2,
+                            "longliving": True})
+    assert (new.priority, new.retry_failed_items, new.longliving) == (7, 2, True)
+    assert (cfg.priority, cfg.longliving) == (1, False)
+
+    # non-whitelisted keys silently dropped (reference: update built from
+    # allowed keys only, never 400s on extras)
+    new = update_task(cfg, {"task_id": "hijack", "epoch_seconds": 1e9})
+    assert new.task_id == "t" and new.epoch_seconds == cfg.epoch_seconds
+
+    # whitelisted-but-lambda-specific keys round-trip via extra
+    new = update_task(cfg, {"status": "paused", "name": "x",
+                            "whitelisted_proxies": ["1.2.3.4"]})
+    assert new.extra["status"] == "paused"
+    assert new.extra["whitelisted_proxies"] == ["1.2.3.4"]
+
+    # ||-validated ranges genuinely enforced (ts:945-949, 985-989)
+    for bad in ({"retry_failed_items": 11}, {"retry_failed_items": "3"},
+                {"num_lost_workers": 1001}):
+        with _pytest.raises(ValueError):
+            update_task(cfg, bad)
+
+    # the &&-quirk group: out-of-range numbers PASS (always-false
+    # conjunction in ts:951-981), non-numbers fail
+    assert update_task(cfg, {"max_workers": 99999}).extra["max_workers"] == 99999
+    assert update_task(cfg, {"max_items_per_worker": 700}).max_items_per_worker == 700
+    with _pytest.raises(ValueError):
+        update_task(cfg, {"max_workers": "lots"})
+
+    # falsy values skip validation entirely (`if (update.x)`)
+    assert update_task(cfg, {"retry_failed_items": 0}).retry_failed_items == 0
+
+    # booleans are not numbers (typeof true !== 'number')
+    with _pytest.raises(ValueError):
+        update_task(cfg, {"priority": True})
