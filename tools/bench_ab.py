@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import subprocess
 import sys
 import threading
@@ -74,15 +75,26 @@ def run_once(ref: str, cwd: str, max_attempts: int = 3) -> dict:
 
         th = threading.Thread(target=sample, daemon=True)
         th.start()
+        # whole-child-tree CPU via getrusage(RUSAGE_CHILDREN) deltas: works
+        # for OLD refs whose bench.py predates the in-bench CpuTracker, so
+        # both A/B sides get the same kernel-storm adjudication signal
+        # (grandchildren — the JVM — fold into the child's rusage when the
+        # child reaps them on exit, which spark.stop() + interpreter exit do)
+        ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
         out = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True,
             env=env, cwd=cwd,
         )
+        ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
         stop.set()
         th.join(timeout=6)
         crawl = json.loads(out.stdout.strip().splitlines()[-1])["crawl"]
         body = samples[2:] or samples
         excess = [max(0.0, l - CPUS) for l in body]
+        cpu_user = ru1.ru_utime - ru0.ru_utime
+        cpu_sys = ru1.ru_stime - ru0.ru_stime
+        cpu_total = cpu_user + cpu_sys
+        sys_frac = cpu_sys / cpu_total if cpu_total > 0 else 0.0
         r = {
             "ref": ref,
             "crawl_sec": crawl["crawl_sec"],
@@ -92,14 +104,29 @@ def run_once(ref: str, cwd: str, max_attempts: int = 3) -> dict:
             "load_before": load_before,
             "load_mean_excess": round(sum(excess) / max(len(excess), 1), 2),
             "load_max": max(body) if body else 0.0,
+            "cpu_user_sec": round(cpu_user, 1),
+            "cpu_sys_sec": round(cpu_sys, 1),
+            "sys_frac": round(sys_frac, 2),
             "attempt": attempt,
             "contaminated": False,
         }
-        r["contaminated"] = r["load_mean_excess"] > 1.5
+        # two independent contamination signals: neighbor load (the classic
+        # burst) and kernel-time storms, which loadavg misses entirely —
+        # measured storm signature on this host: ~10x CPU at ~89% system
+        # time (BENCH/BASELINE.md adjudication note 2); clean trials sit
+        # well under 0.4 sys fraction
+        reasons = []
+        if r["load_mean_excess"] > 1.5:
+            reasons.append("neighbor-load")
+        if sys_frac > 0.5:
+            reasons.append("kernel-storm")
+        r["contaminated"] = bool(reasons)
         print(
             f"trial ref={ref} crawl={r['crawl_sec']}s attempt={attempt} "
-            f"excess={r['load_mean_excess']}"
-            + (" CONTAMINATED, retrying" if r["contaminated"] and attempt < max_attempts else ""),
+            f"excess={r['load_mean_excess']} sys_frac={r['sys_frac']}"
+            + (f" CONTAMINATED ({','.join(reasons)})"
+               + (", retrying" if attempt < max_attempts else "")
+               if r["contaminated"] else ""),
             file=sys.stderr,
         )
         if not r["contaminated"] or attempt == max_attempts:
