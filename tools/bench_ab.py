@@ -113,12 +113,15 @@ def run_once(ref: str, cwd: str, max_attempts: int = 3) -> dict:
         # two independent contamination signals: neighbor load (the classic
         # burst) and kernel-time storms, which loadavg misses entirely —
         # measured storm signature on this host: ~10x CPU at ~89% system
-        # time (BENCH/BASELINE.md adjudication note 2); clean trials sit
-        # well under 0.4 sys fraction
+        # time (BENCH/BASELINE.md adjudication note 2). Clean crawl trials
+        # measure ~0.33-0.45 sys fraction over the WHOLE bench tree (the
+        # rusage window includes corpus gen + init, not just the timed
+        # loop), so the storm threshold sits at 0.6 — between the clean
+        # band and the 0.66-0.89 measured storms.
         reasons = []
         if r["load_mean_excess"] > 1.5:
             reasons.append("neighbor-load")
-        if sys_frac > 0.5:
+        if sys_frac > 0.6:
             reasons.append("kernel-storm")
         r["contaminated"] = bool(reasons)
         print(
