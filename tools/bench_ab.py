@@ -33,13 +33,38 @@ def _load1() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 900) -> float:
+def _stat_jiffies() -> tuple[int, int]:
+    """(system, total) jiffies across all host CPUs from /proc/stat."""
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:]]
+    return vals[2] + vals[5] + vals[6], sum(vals)  # system+irq+softirq, total
+
+
+def _host_sys_share(dt: float = 4.0) -> float:
+    """Host-wide system-time share over a dt-second idle sample. This host's
+    kernel-time storms are visible here while WE idle (loadavg never moves),
+    so it works as a pre-gate — no trial has to burn 60s to detect one."""
+    s0, t0 = _stat_jiffies()
+    time.sleep(dt)
+    s1, t1 = _stat_jiffies()
+    return (s1 - s0) / max(t1 - t0, 1)
+
+
+def wait_for_quiet(max_load: float = 3.0, max_sys: float = 0.05,
+                   timeout_s: int = 1800) -> float:
     t0 = time.time()
     while True:
         load = _load1()
-        if load < max_load or time.time() - t0 > timeout_s:
+        if load < max_load:
+            sys_share = _host_sys_share()
+            if sys_share < max_sys or time.time() - t0 > timeout_s:
+                return load
+            print(f"host sys share {sys_share:.2f} >= {max_sys} (storm), waiting...",
+                  file=sys.stderr)
+        else:
+            print(f"load {load} >= {max_load}, waiting...", file=sys.stderr)
+        if time.time() - t0 > timeout_s:
             return load
-        print(f"load {load} >= {max_load}, waiting...", file=sys.stderr)
         time.sleep(20)
 
 
