@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import resource
 import subprocess
 import sys
 import threading
@@ -100,26 +99,26 @@ def run_once(ref: str, cwd: str, max_attempts: int = 5) -> dict:
 
         th = threading.Thread(target=sample, daemon=True)
         th.start()
-        # whole-child-tree CPU via getrusage(RUSAGE_CHILDREN) deltas: works
-        # for OLD refs whose bench.py predates the in-bench CpuTracker, so
-        # both A/B sides get the same kernel-storm adjudication signal
-        # (grandchildren — the JVM — fold into the child's rusage when the
-        # child reaps them on exit, which spark.stop() + interpreter exit do)
-        ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+        # host-wide system-jiffies share across the trial window: the
+        # kernel-storm signal that works for BOTH refs regardless of how
+        # their bench.py accounts CPU. (A first cut used
+        # getrusage(RUSAGE_CHILDREN) deltas, but the JVM reparents on exit
+        # and escapes them — the delta then measures only the python side,
+        # whose Arrow/socket I/O is inherently ~50% system time, flagging
+        # every trial including a best-ever 37.3s wall.) Measured: a clean
+        # trial puts ~3% of host capacity into system time, a storm ~20%.
+        j0 = _stat_jiffies()
         out = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True,
             env=env, cwd=cwd,
         )
-        ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+        j1 = _stat_jiffies()
         stop.set()
         th.join(timeout=6)
         crawl = json.loads(out.stdout.strip().splitlines()[-1])["crawl"]
         body = samples[2:] or samples
         excess = [max(0.0, l - CPUS) for l in body]
-        cpu_user = ru1.ru_utime - ru0.ru_utime
-        cpu_sys = ru1.ru_stime - ru0.ru_stime
-        cpu_total = cpu_user + cpu_sys
-        sys_frac = cpu_sys / cpu_total if cpu_total > 0 else 0.0
+        host_sys_share = (j1[0] - j0[0]) / max(j1[1] - j0[1], 1)
         r = {
             "ref": ref,
             "crawl_sec": crawl["crawl_sec"],
@@ -129,29 +128,21 @@ def run_once(ref: str, cwd: str, max_attempts: int = 5) -> dict:
             "load_before": load_before,
             "load_mean_excess": round(sum(excess) / max(len(excess), 1), 2),
             "load_max": max(body) if body else 0.0,
-            "cpu_user_sec": round(cpu_user, 1),
-            "cpu_sys_sec": round(cpu_sys, 1),
-            "sys_frac": round(sys_frac, 2),
+            "host_sys_share": round(host_sys_share, 3),
             "attempt": attempt,
             "contaminated": False,
         }
         # two independent contamination signals: neighbor load (the classic
-        # burst) and kernel-time storms, which loadavg misses entirely —
-        # measured storm signature on this host: ~10x CPU at ~89% system
-        # time (BENCH/BASELINE.md adjudication note 2). A genuinely quiet
-        # window measures ~0.14 sys fraction over the whole bench tree;
-        # storm-degraded trials measure 0.37-0.66 with walls inflated
-        # 1.7-3x. Threshold 0.3 = comfortably above clean, below every
-        # degraded trial observed.
+        # burst) and kernel-time storms, which loadavg misses entirely
         reasons = []
         if r["load_mean_excess"] > 1.5:
             reasons.append("neighbor-load")
-        if sys_frac > 0.3:
+        if host_sys_share > 0.08:
             reasons.append("kernel-storm")
         r["contaminated"] = bool(reasons)
         print(
             f"trial ref={ref} crawl={r['crawl_sec']}s attempt={attempt} "
-            f"excess={r['load_mean_excess']} sys_frac={r['sys_frac']}"
+            f"excess={r['load_mean_excess']} host_sys={r['host_sys_share']}"
             + (f" CONTAMINATED ({','.join(reasons)})"
                + (", retrying" if attempt < max_attempts else "")
                if r["contaminated"] else ""),
