@@ -26,13 +26,23 @@ def get_spark(
     tiny test jobs don't schedule 200 empty tasks.
     """
     cpus = cpus or DEFAULT_CPUS
-    # shuffle width is a property of the DATA, not the core count: at
-    # local[2] a cpus-sized width turns a 15 GB shuffle into 7.5 GB external
-    # sorts per partition (measured: superlinear wall at low core counts),
-    # and comparing local[N] vs local[4N] with different widths measures
-    # spill behavior, not scaling. Floor at 32; AQE coalesces the excess for
-    # tiny jobs.
-    shuffle_partitions = shuffle_partitions or max(32, cpus)
+    # Default shuffle width = core count. A round-3 change floored this at
+    # 32 so the scaling comparison would run identical plans at both core
+    # levels — correct for THAT measurement, but as the session default it
+    # cost a measured 1.5-1.7x on the crawl loop at local[8] (paired
+    # trials, BENCH/ab_pairs.json): 4x the tasks and 4x the parquet files
+    # per epoch write on a host whose disk subsystem collapses under
+    # small-file load. The scaling harness now pins its width explicitly
+    # via SPARK_GRAFT_SHUFFLE_PARTITIONS (same value at BOTH levels, since
+    # shuffle width is a property of the data, not the core count); normal
+    # runs get cpus-wide shuffles and AQE coalescing. On a real cluster
+    # spark.sql.shuffle.partitions comes from cluster conf at 2-3x total
+    # cores — this default only governs sandbox/local sessions.
+    shuffle_partitions = (
+        shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0"))
+        or cpus
+    )
     builder = SparkSession.builder
     # Under spark-submit the driver python is launched by PythonRunner with
     # an existing JVM gateway (PYSPARK_GATEWAY_PORT set) whose conf already

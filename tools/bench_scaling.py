@@ -79,6 +79,13 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
         SPARK_GRAFT_CORPUS=CORPUS,
         SPARK_GRAFT_BENCH_QUIET_TIMEOUT="0",  # this harness gates quiet itself
         SPARK_GRAFT_EPOCH_PROFILE="1",  # per-step walls land in the trial record
+        # IDENTICAL shuffle width at every level: the scaling comparison
+        # must run the same physical plan at N and 4N cores (width is a
+        # property of the data); the session default is cpus-wide, which
+        # would hand the lo level narrower shuffles and measure spill
+        # behavior instead of scaling. 32 = the width the published
+        # BENCH/BASELINE.md trials ran at.
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="32",
     )
     for attempt in range(1, max_attempts + 1):
         load_before = wait_for_quiet()
