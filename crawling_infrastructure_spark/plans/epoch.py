@@ -513,7 +513,12 @@ class CrawlJob:
         # re-inflating the html-bearing cache thrash memory+disk (100k-row
         # epoch: 279s + 294s overlapped vs ~20s each serial) — so anything
         # above the small-claim bound runs sequentially.
-        overlap = stats.claimed < self.cfg.fetch_shuffle_min_rows
+        # SPARK_GRAFT_NO_OVERLAP=1 forces the serial path — bisection knob
+        # for adjudicating whether the sibling-thread overlap causes
+        # timing-dependent slowdowns on a contended host.
+        overlap = stats.claimed < self.cfg.fetch_shuffle_min_rows and not os.environ.get(
+            "SPARK_GRAFT_NO_OVERLAP"
+        )
         pages_err: list[BaseException] = []
 
         def _pages_job():
