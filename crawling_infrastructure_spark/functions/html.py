@@ -50,6 +50,52 @@ def clean_html(html: str, tags: Iterable[str] = ("script", "style")) -> str:
     return html
 
 
+# F2 — the browser worker's non-regex clean_html path
+# (crawler/src/browser_worker.ts:690-746): remove whole <script>/<style>/
+# <noscript> subtrees (page.evaluate getElementsByTagName(...).remove(),
+# :717-724) and all comment nodes (the NodeIterator SHOW_COMMENT removal,
+# :726-741 — the branch the reference marks "@todo: does not seem to work";
+# we implement the intended semantics). Same allowed-tag whitelist
+# (:692-699). script/style are raw-text elements and noscript cannot nest
+# inside itself, so subtree removal is exactly "from <tag...> to the first
+# matching </tag>" for these three tags — no general DOM needed. Unlike
+# puppeteer's page.content(), untouched bytes are preserved verbatim (no
+# DOM re-serialization) — the stronger invariant for an engine.
+_DOM_STRIP_RE = {
+    tag: re.compile(rf"<{tag}\b.*?</{tag}\s*>", re.IGNORECASE | re.DOTALL)
+    for tag in ALLOWED_TAGS
+}
+RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+
+
+def clean_html_dom(
+    html: str, tags: Iterable[str] = ("script", "style", "noscript")
+) -> str:
+    """F2 BrowserWorker.clean_html, DOM path (browser_worker.ts:690-746):
+    strip whole element subtrees for the whitelisted tags, then all
+    comments. Unterminated raw-text elements (no closing tag) are left
+    in place, as is any comment opened but never closed."""
+    if html is None:
+        return html
+    for tag in tags:
+        if tag in ALLOWED_TAGS:  # browser_worker.ts:692-699
+            html = _DOM_STRIP_RE[tag].sub("", html)
+    return RE_COMMENT.sub("", html)
+
+
+def clean_html_dom_col(
+    html_str: Column, tags: Iterable[str] = ("script", "style", "noscript")
+) -> Column:
+    """JVM-side F2: the same strips as chained regexp_replace, staying
+    inside whole-stage codegen (Java regex (?is) == Python re.I|re.S for
+    these patterns — agreement is pinned by tests)."""
+    col = html_str
+    for tag in tags:
+        if tag in ALLOWED_TAGS:
+            col = F.regexp_replace(col, rf"(?is)<{tag}\b.*?</{tag}\s*>", "")
+    return F.regexp_replace(col, r"(?s)<!--.*?-->", "")
+
+
 # href extraction — the reference does this with cheerio over stored HTML in
 # its domain-count analytics (master/other/domain_count.js:37-52). Our corpus
 # HTML is generated with double-quoted hrefs, so a single regex is exact; it

@@ -49,6 +49,26 @@ def epoch_metrics(results: DataFrame, epoch: int) -> DataFrame:
     )
 
 
+def lost_worker_candidates(worker_meta: DataFrame) -> DataFrame:
+    """P4 getLostWorkerCandidates (master/src/models/workermeta.model.ts:
+    126-130): ``find({status: started, ended: null,
+    average_items_per_second: null})`` — workers that started but never
+    reported completion or a throughput sample. Status codes per
+    lib/types/workermeta.ts (started=0, completed=1, lost=2).
+
+    The epoch loop itself heals via snapshot resume (U4/U8 —
+    plans/epoch.py), which subsumes the reference's lost-worker sweep;
+    this operator is the reference's literal candidate query for parity
+    and for deployments that track per-worker rows. Conjunctive
+    null-predicates push down to the scan (IsNull + EqualTo in
+    PushedFilters)."""
+    return worker_meta.filter(
+        (F.col("status") == 0)
+        & F.col("ended").isNull()
+        & F.col("average_items_per_second").isNull()
+    )
+
+
 def worker_meta_statistics(metrics: DataFrame) -> DataFrame:
     """A7 getWorkerMetaStatistics (workermeta.model.ts:78-117): group counts,
     averages, totals over all 'workers' (here: host-epoch groups)."""

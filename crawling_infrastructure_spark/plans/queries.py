@@ -502,6 +502,161 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def _proxy_pool(spark, sf_dir):
+    """Synthetic proxy pool (lib/types/proxy.ts:80-100 shape) derived
+    deterministically from supplier — same derivation in the oracle."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        F.concat(
+            F.lit("10.0."),
+            F.pmod(k, F.lit(250)).cast("string"),
+            F.lit("."),
+            F.pmod(F.floor(k / 250), F.lit(250)).cast("int").cast("string"),
+            F.lit(":"),
+            (F.pmod(k, F.lit(1000)) + 8000).cast("string"),
+        ).alias("proxy"),
+        F.pmod(k, F.lit(7)).cast("int").alias("proxy_fail_counter"),
+        F.pmod(k, F.lit(11)).cast("bigint").alias("last_used"),
+        F.pmod(k, F.lit(13)).cast("int").alias("obtain_counter"),
+        (F.pmod(k, F.lit(3)) == 0).alias("whitelisted"),
+    )
+
+
+def q_proxy_pick(spark, sf_dir):
+    """W2 getProxy (crawler/src/proxy.ts:124-150): findOneAndUpdate with
+    sort {proxy_fail_counter:1, last_used:1, obtain_counter:1} — run the
+    real obtain_proxy (pick + last_used/obtain_counter bump, new:true
+    semantics), then return the post-update pool's eligible rows in pick
+    order, top 10. The winner's bumped counters reorder it — so the entry
+    pins both the compound sort and the update semantics."""
+    from crawling_infrastructure_spark.operators.proxy import (
+        _pick_order,
+        obtain_proxy,
+    )
+
+    pool = _proxy_pool(spark, sf_dir)
+    picked, updated = obtain_proxy(
+        pool, now_ts=999, predicate=F.col("whitelisted")
+    )
+    w = Window.orderBy(*_pick_order())
+    return (
+        updated.filter(F.col("whitelisted"))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 10)
+        .select(
+            "proxy",
+            "proxy_fail_counter",
+            "last_used",
+            "obtain_counter",
+            F.col("pick_rank").cast("int").alias("pick_rank"),
+        )
+    )
+
+
+def q_lost_workers(spark, sf_dir):
+    """P4 getLostWorkerCandidates (workermeta.model.ts:126-130) over a
+    worker_meta view of events: status=event_id%3 (started=0), ended/avg
+    nulled on deterministic strata — the conjunctive null-predicate
+    filter."""
+    from crawling_infrastructure_spark.operators.metrics import (
+        lost_worker_candidates,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    wm = e.select(
+        F.col("event_id").alias("worker_id"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("status"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(4)) == 0, F.lit(None)
+        )
+        .otherwise(F.unix_timestamp("ts"))
+        .alias("ended"),
+        F.when(F.pmod(F.col("user_id"), F.lit(5)) == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("average_items_per_second"),
+    )
+    return lost_worker_candidates(wm).select("worker_id")
+
+
+def q_politeness_gaussian(spark, sf_dir):
+    """F6 gaussian (lib/misc/stats.ts:29-54): the folded-normal politeness
+    jitter |N(mean, stddev)| via the engine's Box-Muller column, driven by
+    integer-arithmetic uniforms both engines compute identically (the
+    engine's own xxhash64-keyed uniforms are pytest-pinned —
+    hash_uniform/gaussian_delay_ms)."""
+    from crawling_infrastructure_spark.functions.fingerprint import gaussian
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(20)) == 0
+    )
+    k = F.col("event_id").cast("bigint")
+    u1 = (F.pmod(k * 2654435761, F.lit(2147483647)) + 1) / 2147483648.0
+    u2 = (F.pmod(k * 40503, F.lit(65521)) + 1) / 65522.0
+    return e.select(
+        "event_id",
+        F.round(gaussian(u1, u2, mean=1500.0, stddev=500.0), 6).alias(
+            "delay_ms"
+        ),
+    )
+
+
+def q_fingerprint_headers(spark, sf_dir):
+    """F9 getRandomUserAgent / getRandomAcceptLanguageHeader /
+    getRandomScreenSize (crawler/src/helpers.ts:28-59) made deterministic:
+    pool lookups + the exact Accept-Language render at an index both
+    engines compute; the hash-keyed front-ends are pytest-pinned."""
+    from crawling_infrastructure_spark.functions.fingerprint import (
+        ACCEPT_LOCALES,
+        SCREEN_SIZES,
+        USER_AGENTS,
+        accept_language_header_at,
+        screen_size_at,
+        user_agent_at,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(25)) == 0
+    )
+    k = F.col("event_id")
+    ss = screen_size_at(F.pmod(k, F.lit(len(SCREEN_SIZES))) + 1)
+    return e.select(
+        "event_id",
+        user_agent_at(F.pmod(k, F.lit(len(USER_AGENTS))) + 1).alias("ua"),
+        accept_language_header_at(
+            F.pmod(k, F.lit(len(ACCEPT_LOCALES))) + 1
+        ).alias("accept_language"),
+        ss.getField("width").cast("int").alias("width"),
+        ss.getField("height").cast("int").alias("height"),
+    )
+
+
+def q_clean_html_dom(spark, sf_dir):
+    """F2 BrowserWorker.clean_html, DOM path (browser_worker.ts:690-746):
+    wrap documents.text ('<'-escaped so the wrapper is the only markup) in
+    a fixed multi-line script/style/comment/noscript shell, run the real
+    JVM-side subtree+comment stripper, and return the cleaned html. The
+    oracle computes the EXPECTED output directly ('<html><head></head>
+    <body>'||text||'</body></html>') — ground-truth parity, not a regex
+    re-run."""
+    from crawling_infrastructure_spark.functions.html import clean_html_dom_col
+
+    d = _t(spark, sf_dir, "documents")
+    esc = F.replace(F.col("text"), F.lit("<"), F.lit("&lt;"))
+    shell = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">\nvar x = 1;\n'
+            "var y = 2;\n</script><style>\n.a { color: red }\n</style>"
+            "</head><body><!-- hidden\n comment -->"
+        ),
+        esc,
+        F.lit("<noscript>enable js</noscript></body></html>"),
+    )
+    return d.select(
+        "doc_id", clean_html_dom_col(shell).alias("cleaned")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -536,6 +691,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fetch_state_machine": q_fetch_state_machine,
     "windowed_event_counts": q_windowed_event_counts,
     "sessionize": q_sessionize,
+    "proxy_pick": q_proxy_pick,
+    "lost_workers": q_lost_workers,
+    "politeness_gaussian": q_politeness_gaussian,
+    "fingerprint_headers": q_fingerprint_headers,
+    "clean_html_dom": q_clean_html_dom,
 }
 
 
@@ -968,5 +1128,89 @@ WITH g AS (
   FROM events)
 SELECT user_id, count(new_sess) + 1 AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
+""",
+    "proxy_pick": """
+WITH pool AS (
+  SELECT '10.0.' || CAST(s_suppkey % 250 AS VARCHAR) || '.'
+           || CAST(CAST(floor(s_suppkey / 250) AS BIGINT) % 250 AS VARCHAR)
+           || ':' || CAST((s_suppkey % 1000) + 8000 AS VARCHAR) AS proxy,
+         CAST(s_suppkey % 7 AS INTEGER) AS proxy_fail_counter,
+         CAST(s_suppkey % 11 AS BIGINT) AS last_used,
+         CAST(s_suppkey % 13 AS INTEGER) AS obtain_counter,
+         (s_suppkey % 3 = 0) AS whitelisted
+  FROM supplier
+),
+pick AS (
+  SELECT proxy FROM pool WHERE whitelisted
+  ORDER BY proxy_fail_counter, last_used, obtain_counter, proxy LIMIT 1
+),
+updated AS (
+  SELECT proxy, proxy_fail_counter,
+         CASE WHEN proxy = (SELECT proxy FROM pick)
+              THEN 999 ELSE last_used END AS last_used,
+         CASE WHEN proxy = (SELECT proxy FROM pick)
+              THEN obtain_counter + 1 ELSE obtain_counter END AS obtain_counter,
+         whitelisted
+  FROM pool
+)
+SELECT proxy, proxy_fail_counter, CAST(last_used AS BIGINT) AS last_used,
+       CAST(obtain_counter AS INTEGER) AS obtain_counter,
+       CAST(pick_rank AS INTEGER) AS pick_rank
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY proxy_fail_counter, last_used, obtain_counter, proxy) AS pick_rank
+  FROM updated WHERE whitelisted
+) WHERE pick_rank <= 10
+""",
+    "lost_workers": """
+SELECT event_id AS worker_id FROM events
+WHERE event_id % 3 = 0 AND event_id % 4 = 0 AND user_id % 5 = 0
+""",
+    "politeness_gaussian": """
+SELECT event_id,
+       round(abs(1500.0 + 500.0 * sqrt(-2.0 * ln(u1)) * cos(2 * pi() * u2)),
+             6) AS delay_ms
+FROM (
+  SELECT event_id,
+         ((event_id * 2654435761) % 2147483647 + 1) / 2147483648.0 AS u1,
+         ((event_id * 40503) % 65521 + 1) / 65522.0 AS u2
+  FROM events WHERE event_id % 20 = 0)
+""",
+    "fingerprint_headers": """
+WITH idx AS (
+  SELECT event_id,
+         CAST(event_id % 6 AS INTEGER) + 1 AS ua_i,
+         CAST(event_id % 17 AS INTEGER) + 1 AS loc_i,
+         CAST(event_id % 19 AS INTEGER) + 1 AS ss_i
+  FROM events WHERE event_id % 25 = 0
+),
+px AS (
+  SELECT event_id,
+         (['Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36',
+           'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36',
+           'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/121.0.0.0 Safari/537.36',
+           'Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:122.0) Gecko/20100101 Firefox/122.0',
+           'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.2 Safari/605.1.15',
+           'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0'])[ua_i] AS ua,
+         (['en-DE','fr-CA','fr-FR','de-DE','en-GB','pt-BR','es-MX','zh-CN',
+           'zh-TW','es-ES','es-CO','es-US','de-CH','de-AT','nl-NL','nl-BE',
+           'se-SE'])[loc_i] AS loc,
+         ([1920,1366,1440,1536,1600,1280,1280,1280,1024,1680,2560,1920,1360,
+           1600,1400,1280,1440,1400,1280])[ss_i] AS width,
+         ([1080,768,900,864,900,800,720,1024,768,1050,1440,1200,768,1024,
+           1050,1024,900,900,960])[ss_i] AS height
+  FROM idx
+)
+SELECT event_id, ua,
+       loc || ',' || split_part(loc, '-', 1)
+           || ';q=0.9,en;q=0.8,en-US;q=0.7' AS accept_language,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height
+FROM px
+""",
+    "clean_html_dom": """
+SELECT doc_id,
+       '<html><head></head><body>' || replace(text, '<', '&lt;')
+         || '</body></html>' AS cleaned
+FROM documents
 """,
 }

@@ -1,0 +1,238 @@
+"""Round-4 coverage closers: W2 proxy pick, P4 lost-worker candidates,
+F2 DOM clean_html, F6 gaussian, F9 fingerprint rotation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.functions.fingerprint import (
+    ACCEPT_LOCALES,
+    SCREEN_SIZES,
+    USER_AGENTS,
+    accept_language_header,
+    gaussian,
+    gaussian_delay_ms,
+    hash_uniform,
+    screen_size,
+    user_agent,
+)
+from crawling_infrastructure_spark.functions.html import (
+    clean_html_dom,
+    clean_html_dom_col,
+)
+from crawling_infrastructure_spark.operators.metrics import lost_worker_candidates
+from crawling_infrastructure_spark.operators.proxy import (
+    assign_proxies,
+    mark_proxy,
+    obtain_proxy,
+    pick_proxy,
+)
+
+# ---------------------------------------------------------------- W2 proxy
+
+
+def _pool(spark):
+    rows = [
+        # proxy, fail, last_used, obtain, whitelisted
+        Row(proxy="1.1.1.1:80", proxy_fail_counter=0, last_used=50,
+            obtain_counter=9, whitelisted=True, status="functional",
+            block_counter=0, last_blocked=0),
+        Row(proxy="2.2.2.2:80", proxy_fail_counter=0, last_used=10,
+            obtain_counter=3, whitelisted=True, status="functional",
+            block_counter=0, last_blocked=0),
+        Row(proxy="3.3.3.3:80", proxy_fail_counter=2, last_used=1,
+            obtain_counter=0, whitelisted=True, status="functional",
+            block_counter=0, last_blocked=0),
+        Row(proxy="4.4.4.4:80", proxy_fail_counter=0, last_used=10,
+            obtain_counter=1, whitelisted=False, status="functional",
+            block_counter=0, last_blocked=0),
+        # exact tie with 2.2.2.2 except the proxy-string tie-break
+        Row(proxy="0.0.0.5:80", proxy_fail_counter=0, last_used=10,
+            obtain_counter=3, whitelisted=True, status="functional",
+            block_counter=0, last_blocked=0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_pick_proxy_compound_sort_and_tiebreak(spark):
+    # proxy.ts:141 sort: fail asc, last_used asc, obtain asc; tie -> proxy asc
+    got = pick_proxy(_pool(spark)).collect()[0]
+    assert got.proxy == "4.4.4.4:80"  # lowest obtain among the last_used=10 tie
+    # whitelist filter removes 4.4.4.4; 0.0.0.5 ties 2.2.2.2 on every
+    # counter and wins on the proxy-string tie-break
+    got2 = pick_proxy(_pool(spark), F.col("whitelisted")).collect()[0]
+    assert got2.proxy == "0.0.0.5:80"
+
+
+def test_obtain_proxy_new_true_semantics(spark):
+    picked, updated = obtain_proxy(_pool(spark), now_ts=777,
+                                   predicate=F.col("whitelisted"))
+    p = picked.collect()[0]
+    # new:true (proxy.ts:135): returned doc carries the bumped counters
+    assert p.proxy == "0.0.0.5:80" and p.last_used == 777 and p.obtain_counter == 4
+    pool2 = {r.proxy: r for r in updated.collect()}
+    assert len(pool2) == 5
+    assert pool2["0.0.0.5:80"].obtain_counter == 4
+    assert pool2["2.2.2.2:80"].obtain_counter == 3  # untouched
+    assert pool2["4.4.4.4:80"].last_used == 10  # ineligible untouched
+    # next obtain on the updated pool must move on (LRU: 777 is now newest)
+    p2, _ = obtain_proxy(updated, now_ts=778, predicate=F.col("whitelisted"))
+    assert p2.collect()[0].proxy == "2.2.2.2:80"
+
+
+def test_mark_proxy_reason_mapping(spark):
+    pool = _pool(spark)
+    sel = F.col("proxy") == "2.2.2.2:80"
+    b = {r.proxy: r for r in mark_proxy(pool, sel, "blocked", 99).collect()}
+    assert (b["2.2.2.2:80"].status, b["2.2.2.2:80"].block_counter,
+            b["2.2.2.2:80"].last_blocked) == ("blocked", 1, 99)
+    assert b["2.2.2.2:80"].last_used == 10  # blocked does NOT touch last_used
+    d = {r.proxy: r for r in mark_proxy(pool, sel, "damaged", 99).collect()}
+    assert (d["2.2.2.2:80"].status, d["2.2.2.2:80"].last_used) == ("damaged", 99)
+    c = {r.proxy: r for r in mark_proxy(pool, sel, "check_failed", 99).collect()}
+    assert (c["2.2.2.2:80"].proxy_fail_counter, c["2.2.2.2:80"].last_used) == (1, 99)
+    assert c["1.1.1.1:80"].proxy_fail_counter == 0
+    with pytest.raises(ValueError):
+        mark_proxy(pool, sel, "nope", 99)
+
+
+def test_assign_proxies_deterministic_and_empty_pool(spark):
+    batch = spark.range(100).select(F.col("id").alias("url_hash"))
+    out1 = assign_proxies(batch, _pool(spark), key="url_hash")
+    out2 = assign_proxies(batch, _pool(spark), key="url_hash")
+    rows1 = {r.url_hash: r.proxy for r in out1.collect()}
+    rows2 = {r.url_hash: r.proxy for r in out2.collect()}
+    assert rows1 == rows2 and len(rows1) == 100
+    assert all(p is not None for p in rows1.values())
+    assert len(set(rows1.values())) > 1  # spreads over the pool
+    empty = _pool(spark).filter(F.lit(False))
+    got = assign_proxies(batch, empty).select("proxy").distinct().collect()
+    assert [r.proxy for r in got] == [None]  # getFreshProxy null -> abort
+
+
+# ------------------------------------------------------- P4 lost workers
+
+
+def test_lost_worker_candidates_conjunctive_nulls(spark):
+    rows = [
+        Row(worker_id=1, status=0, ended=None, average_items_per_second=None),
+        Row(worker_id=2, status=0, ended=5, average_items_per_second=None),
+        Row(worker_id=3, status=0, ended=None, average_items_per_second=1.0),
+        Row(worker_id=4, status=1, ended=None, average_items_per_second=None),
+        Row(worker_id=5, status=2, ended=None, average_items_per_second=None),
+    ]
+    schema = "worker_id int, status int, ended int, average_items_per_second double"
+    wm = spark.createDataFrame(rows, schema=schema)
+    got = [r.worker_id for r in lost_worker_candidates(wm).collect()]
+    assert got == [1]
+
+
+# --------------------------------------------------- F2 DOM clean_html
+
+_TRICKY = [
+    # multiline script + style (regex F1 style strip would keep multiline)
+    '<html><head><script>\nvar a=1;\nvar b=2;\n</script>'
+    '<style>\n.a{}\n</style></head><body>keep</body></html>',
+    # case-insensitive tags, attributes on the tag
+    '<SCRIPT type="a">x</ScRiPt><p>mid</p><STYLE media="x">y</style>tail',
+    # comments, incl. multiline, incl. one inside a script (dies with it)
+    'a<!-- one -->b<!-- two\nlines -->c<script><!-- in --></script>d',
+    # noscript subtree with nested markup
+    'x<noscript><p>enable <b>js</b></p></noscript>y',
+    # unterminated script is left in place
+    'pre<script>never closed... post',
+    # angle brackets in text that are not the stripped tags
+    '1 < 2 and <b>bold</b> stays',
+]
+
+
+def test_clean_html_dom_python_semantics():
+    assert clean_html_dom(_TRICKY[0]) == (
+        "<html><head></head><body>keep</body></html>"
+    )
+    assert clean_html_dom(_TRICKY[1]) == "<p>mid</p>tail"
+    assert clean_html_dom(_TRICKY[2]) == "abcd"
+    assert clean_html_dom(_TRICKY[3]) == "xy"
+    assert clean_html_dom(_TRICKY[4]) == "pre<script>never closed... post"
+    assert clean_html_dom(_TRICKY[5]) == "1 < 2 and <b>bold</b> stays"
+    # tag whitelist (browser_worker.ts:692-699): non-allowed tags ignored
+    assert clean_html_dom("<div>d</div><script>s</script>",
+                          tags=("script", "div")) == "<div>d</div>"
+    assert clean_html_dom(None) is None
+
+
+def test_clean_html_dom_jvm_python_agreement(spark):
+    df = spark.createDataFrame([(h,) for h in _TRICKY], schema="html string")
+    got = [
+        r.c for r in
+        df.select(clean_html_dom_col(F.col("html")).alias("c")).collect()
+    ]
+    assert got == [clean_html_dom(h) for h in _TRICKY]
+
+
+# ------------------------------------------------------- F6 gaussian
+
+
+def test_gaussian_matches_python_boxmuller(spark):
+    df = spark.range(500).select(
+        hash_uniform(F.col("id"), 1).alias("u1"),
+        hash_uniform(F.col("id"), 2).alias("u2"),
+    )
+    got = df.select(
+        "u1", "u2", gaussian(F.col("u1"), F.col("u2"), 1500.0, 500.0).alias("g")
+    ).collect()
+    for r in got:
+        expect = abs(
+            1500.0
+            + 500.0 * math.sqrt(-2.0 * math.log(r.u1)) * math.cos(2 * math.pi * r.u2)
+        )
+        assert r.g == pytest.approx(expect, rel=1e-12)
+        assert r.g >= 0.0  # stats.ts:50-53 fold
+        assert 0.0 < r.u1 < 1.0 and 0.0 < r.u2 < 1.0
+
+
+def test_gaussian_delay_deterministic_and_distributed(spark):
+    df = spark.range(2000).select(F.col("id").cast("string").alias("url"))
+    a = df.select(gaussian_delay_ms(F.col("url"), 1500.0, 500.0).alias("d"))
+    b = df.select(gaussian_delay_ms(F.col("url"), 1500.0, 500.0).alias("d"))
+    va = [r.d for r in a.collect()]
+    vb = [r.d for r in b.collect()]
+    assert va == vb  # deterministic per key
+    mean = sum(va) / len(va)
+    # folded-normal mean with mean>>stddev ~= mean; loose band
+    assert 1300.0 < mean < 1700.0
+    assert len(set(va)) > 1900  # per-key, not constant
+
+
+# --------------------------------------------------- F9 fingerprint
+
+
+def test_fingerprint_pools_match_reference_constants():
+    # helpers.ts:43-44 — 17 locales; config.ts:32-33 — 19 sizes
+    assert len(ACCEPT_LOCALES) == 17 and ACCEPT_LOCALES[0] == "en-DE"
+    assert len(SCREEN_SIZES) == 19 and SCREEN_SIZES[0] == (1920, 1080)
+    assert len(USER_AGENTS) >= 5
+
+
+def test_fingerprint_rotation_deterministic(spark):
+    df = spark.range(200).select(F.col("id").cast("string").alias("url"))
+    out = df.select(
+        user_agent(F.col("url")).alias("ua"),
+        accept_language_header(F.col("url")).alias("al"),
+        screen_size(F.col("url")).alias("ss"),
+    )
+    rows1, rows2 = out.collect(), out.collect()
+    assert rows1 == rows2
+    uas = {r.ua for r in rows1}
+    assert uas <= set(USER_AGENTS) and len(uas) == len(USER_AGENTS)
+    for r in rows1:
+        loc = r.al.split(",")[0]
+        lang = loc.split("-")[0]
+        # helpers.ts:51 exact format
+        assert r.al == f"{loc},{lang};q=0.9,en;q=0.8,en-US;q=0.7"
+        assert loc in ACCEPT_LOCALES
+        assert (r.ss.width, r.ss.height) in SCREEN_SIZES
