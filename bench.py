@@ -44,15 +44,42 @@ def _host_sys_share(dt: float = 4.0) -> float:
     never move loadavg, but show here while we idle: ~0.02 clean, far
     higher mid-storm. Used by the quiet-window gate alongside loadavg."""
     try:
-        def stat():
-            vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-            return vals[2] + vals[5] + vals[6], sum(vals)
-        s0, t0 = stat()
+        s0, t0 = _stat_snapshot()
         time.sleep(dt)
-        s1, t1 = stat()
+        s1, t1 = _stat_snapshot()
         return (s1 - s0) / max(t1 - t0, 1)
     except OSError:  # non-Linux
         return 0.0
+
+
+def _stat_snapshot() -> tuple[int, int]:
+    """(system+irq+softirq jiffies, total jiffies) from /proc/stat line 1."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return vals[2] + vals[5] + vals[6], sum(vals)
+
+
+class PhaseSysShare:
+    """Host system-jiffy share over a measured phase — the mid-run storm
+    detector. The start-of-run quiet gate cannot see a storm that begins
+    AFTER the bench starts (observed: load 0.96 at gate, 25.8 mid-crawl,
+    3x crawl wall). Clean heavy-crawl share on this host is ~0.10-0.20
+    (our own shuffle/write I/O); kernel storms push it to 0.4+ with ~89%
+    system time in the affected processes."""
+
+    def __init__(self) -> None:
+        try:
+            self.s0, self.t0 = _stat_snapshot()
+        except OSError:
+            self.s0 = self.t0 = -1
+
+    def finish(self) -> float:
+        if self.t0 < 0:
+            return 0.0
+        try:
+            s1, t1 = _stat_snapshot()
+        except OSError:
+            return 0.0
+        return round((s1 - self.s0) / max(t1 - self.t0, 1), 3)
 
 
 class LoadSampler:
@@ -207,14 +234,31 @@ HEADLINE_QUERIES = [
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Per-query walls, each taken under the cleanest window available.
+
+    A tenant CPU burst landing on ONE query inflates it 5-10x (observed:
+    embedding_neardup 4 s clean -> 42 s under a load-20 burst) without any
+    kernel-storm signature, so each query records the 1-min load delta
+    around it and is re-run (bounded) when its window was loud. Best of the
+    attempts is published — same best-of-N discipline as the crawl phase.
+    """
     from crawling_infrastructure_spark.plans.queries import QUERIES
 
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "1"))
+    loud = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_MAX_LOAD", "8"))
     times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(1 + max(retries, 0)):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = time.time() - t0
+            if best is None or wall < best:
+                best = wall
+            if _loadavg1() < loud:
+                break
+        times[name] = round(best, 3)
     return times
 
 
@@ -260,6 +304,7 @@ def bench_crawl(spark, n_pages: int, n_hosts: int) -> dict:
             break
     wall = time.time() - t0
     shutil.rmtree(root, ignore_errors=True)
+    corpus.unpersist()  # a storm-retry re-enters here; don't pile caches
     return {
         "n_pages": n_pages,
         "n_hosts": n_hosts,
@@ -355,13 +400,39 @@ def main() -> None:
     load = LoadSampler()
     out: dict = {"sf": sf_dir, "cpus": cpus}
     total = 0.0
+    storm_sys = float(os.environ.get("SPARK_GRAFT_BENCH_STORM_SYS", "0.30"))
+    crawl_retries = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_RETRIES", "1"))
     if mode in ("all", "queries"):
         t0 = time.time()
+        ph = PhaseSysShare()
         out["queries"] = bench_queries(spark, sf_dir)
+        out["queries_host_sys_share"] = ph.finish()
         total += time.time() - t0
     if mode in ("all", "crawl"):
-        crawl = bench_crawl(spark, crawl_pages, max(crawl_pages // 500, 10))
+        # Retry-on-storm: the headline crawl number is worthless if a host
+        # kernel storm lands mid-run (start gate can't see it). Re-run the
+        # crawl phase up to crawl_retries times when the phase's host
+        # system-share exceeds storm_sys; publish the cleanest attempt and
+        # keep every attempt in crawl_attempts for adjudication.
+        attempts = []
+        for attempt in range(1 + max(crawl_retries, 0)):
+            ph = PhaseSysShare()
+            c = bench_crawl(spark, crawl_pages, max(crawl_pages // 500, 10))
+            c["host_sys_share"] = ph.finish()
+            c["attempt"] = attempt
+            attempts.append(c)
+            if c["host_sys_share"] <= storm_sys:
+                break
+            # bounded re-quiet before the retry (waits NOT added to total)
+            for _ in range(10):
+                if _loadavg1() < gate and _host_sys_share() < max_sys:
+                    break
+                time.sleep(15)
+        crawl = min(attempts, key=lambda c: c["host_sys_share"])
+        crawl["storm_during"] = crawl["host_sys_share"] > storm_sys
         out["crawl"] = crawl
+        if len(attempts) > 1:
+            out["crawl_attempts"] = attempts
         out["pages_per_sec"] = crawl["pages_per_sec"]
         out["dedup_urls_per_sec"] = crawl["dedup_urls_per_sec"]
         total += crawl["crawl_sec"] + crawl["init_sec"]
