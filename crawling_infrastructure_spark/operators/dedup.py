@@ -326,3 +326,119 @@ def embedding_cosine_neardup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components — near-dup PAIRS -> duplicate CLUSTERS
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the step that turns
+    near-duplicate PAIRS (MinHash-LSH / SimHash / cosine output) into
+    duplicate CLUSTERS, so a training-data pipeline can keep exactly one
+    canonical document per cluster. Returns ``(id, component)`` for every
+    vertex APPEARING IN AN EDGE, where ``component`` is the smallest vertex
+    id reachable from ``id`` (so the canonical representative is
+    ``id == component``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * large-star(u): connect every neighbor v > u to m(u) = min(N(u)+{u})
+    * small-star(u): connect every neighbor v < u, and u itself, to m(u)
+    Converges in O(log^2 n) rounds REGARDLESS of component diameter (plain
+    hash-min label propagation needs diameter rounds — a 10^8-long url
+    chain would need 10^8 shuffles; this needs ~log^2). Each round is two
+    hash-partition shuffles (groupBy min + equi-join back), all JVM; edge
+    multiplicity is bounded because every emitted edge points AT a current
+    minimum. The driver loop only evaluates a per-round convergence
+    aggregate (2 longs), never the data.
+
+    At 100 TB: near-dup graphs are overwhelmingly tiny stars (clusters of
+    2-10 docs), so the edge set SHRINKS toward one edge per non-canonical
+    doc within ~2 rounds; the log^2 bound only bites on adversarial chains.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .dropDuplicates()
+    )
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.union(cur.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = sym.groupBy("s").agg(F.min("d").alias("mn"))
+        m = m.select("s", F.least("s", "mn").alias("m"))
+        j = sym.join(m, "s")
+        if large:
+            out = j.filter(F.col("d") > F.col("s")).select(
+                F.col("d").alias("s"), F.col("m").alias("d")
+            )
+        else:
+            out = j.filter(F.col("d") < F.col("s")).select(
+                F.col("d").alias("s"), F.col("m").alias("d")
+            ).union(j.select("s", F.col("m").alias("d")))
+        return (
+            out.filter(F.col("s") != F.col("d"))
+            .select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+            .dropDuplicates()
+        )
+
+    def checksum(cur: DataFrame):
+        row = cur.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and cannot overflow under ANSI
+            F.coalesce(F.bit_xor(F.xxhash64("s", "d")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_rounds):
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: star graphs, every edge is (member, root) with root < member
+    members = e.select(F.col("d").alias("id"), F.col("s").alias("component"))
+    # guard: if a member appears with two roots (max_rounds hit before
+    # convergence) keep the smaller — min() keeps the result a function
+    comp = members.groupBy("id").agg(F.min("component").alias("component"))
+    roots = comp.select(F.col("component").alias("id")).dropDuplicates().withColumn(
+        "component", F.col("id")
+    )
+    return comp.unionByName(roots)
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full-corpus duplicate clustering: every document mapped to its
+    component (singletons map to themselves) with the component's size —
+    the keep-one-per-cluster decision table (``keep = doc_id ==
+    component``). ``pairs`` is any near-dup pair table with (doc_a, doc_b).
+
+    Join strategy: the corpus side is pruned to the id column before the
+    join (never the text/html payload), so the shuffle — if AQE doesn't
+    pick broadcast — moves 8 bytes/doc, not documents. The component table
+    is O(duplicate docs); small at typical dup rates (AQE broadcasts it),
+    safely shuffle-joinable when it isn't.
+    """
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    labeled = ids.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "component").select(
+        "doc_id", "component", "cluster_size"
+    )

@@ -657,6 +657,24 @@ def q_clean_html_dom(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from MinHash-LSH pairs: connected components via
+    alternating large-star/small-star (Kiveris et al. 2014), then every
+    document labeled with its component min-id and cluster size — the
+    keep-one-per-cluster table that turns pair detection into an actual
+    dedup decision. The oracle recomputes the identical pairs (full MinHash
+    pipeline) and resolves components with a recursive CTE (min reachable
+    id), so the hash compare covers the clustering itself."""
+    from crawling_infrastructure_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_perm=32, threshold=0.8)
+    return dedup_clusters(docs, pairs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -696,6 +714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_gaussian": q_politeness_gaussian,
     "fingerprint_headers": q_fingerprint_headers,
     "clean_html_dom": q_clean_html_dom,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -796,6 +815,32 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Clusters oracle: identical MinHash-LSH pairs (the full sketch
+    pipeline, nested as a CTE), then connected components as the min
+    reachable doc_id via a recursive CTE over the symmetrized edges —
+    ground-truth component semantics, independent of the star-contraction
+    algorithm the Spark side uses."""
+    pairs_sql = _minhash_lsh_sql(num_perm=32, threshold=0.8, seed=42)
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT e.d, cc.lbl FROM cc JOIN edges e ON cc.id = e.s
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
 """
 
 
@@ -1213,4 +1258,5 @@ SELECT doc_id,
          || '</body></html>' AS cleaned
 FROM documents
 """,
+    "dedup_clusters": _dedup_clusters_sql(),
 }

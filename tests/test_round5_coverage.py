@@ -236,3 +236,58 @@ def test_fingerprint_rotation_deterministic(spark):
         assert r.al == f"{loc},{lang};q=0.9,en;q=0.8,en-US;q=0.7"
         assert loc in ACCEPT_LOCALES
         assert (r.ss.width, r.ss.height) in SCREEN_SIZES
+
+
+# ------------------------------------------- connected components / clusters
+
+
+def test_connected_components_chain_star_and_isolated(spark):
+    from crawling_infrastructure_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # one 6-chain (worst case for label propagation), one star, one pair,
+    # plus duplicate + reversed + self edges that must not matter
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (10, 12), (10, 13),
+         (20, 21), (21, 20), (20, 21), (7, 7)],
+        schema="src long, dst long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert {k: got[k] for k in range(1, 7)} == {i: 1 for i in range(1, 7)}
+    assert {got[10], got[11], got[12], got[13]} == {10}
+    assert got[20] == got[21] == 20
+    assert 7 not in got  # self-loop only -> no edge -> not a graph vertex
+
+    # long chain converges well under the O(log^2) round bound
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], schema="src long, dst long"
+    )
+    comp = {r.id: r.component for r in
+            connected_components(chain, max_rounds=12).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_dedup_clusters_labels_singletons_and_sizes(spark):
+    from pyspark.sql import Row
+    from crawling_infrastructure_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}") for i in range(8)]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], schema="doc_a long, doc_b long"
+    )
+    rows = {r.doc_id: (r.component, r.cluster_size)
+            for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        0: (0, 3), 1: (0, 3), 2: (0, 3),
+        3: (3, 1), 4: (4, 1), 7: (7, 1),
+        5: (5, 2), 6: (5, 2),
+    }
+    # keep-one rule: exactly one canonical per cluster
+    keeps = [d for d, (c, _) in rows.items() if d == c]
+    assert sorted(keeps) == [0, 3, 4, 5, 7]
