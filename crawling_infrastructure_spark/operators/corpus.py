@@ -1,0 +1,93 @@
+"""End-to-end training-corpus construction — the pipeline a user of this
+engine actually runs over crawled pages to produce LLM training data.
+
+Composes the individually-oracled stages into one declarative plan:
+
+  1. language gate      lang_id marker scoring (textstats.py)
+  2. quality gate       stopword/length quality + token-count band
+  3. exact dedup        keep min doc_id per md5(text) group
+  4. near-dup dedup     MinHash-LSH pairs -> connected components ->
+                        keep the component's min doc_id (dedup.py)
+
+Everything is one Catalyst plan until the iterative component rounds; the
+gates run BEFORE the expensive sketching, so at 100 TB the MinHash stage
+sees only the filtered survivors (typically a small fraction of the crawl
+— the cheap JVM gates are the guard band for the costly stages).
+
+The matching DuckDB oracle (plans/queries.py training_corpus) recomputes
+the identical funnel end-to-end, so the driver hash-compare pins stage
+ORDER and thresholds, not just per-stage math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawling_infrastructure_spark.operators.dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+)
+from crawling_infrastructure_spark.operators.textstats import (
+    lang_id,
+    quality_score,
+    token_counts,
+)
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.02,
+    min_tokens: int = 20,
+    max_tokens: int = 1 << 20,
+    minhash_threshold: float = 0.8,
+) -> DataFrame:
+    """The kept corpus: (doc_id, guessed_lang, n_tokens, quality) for every
+    document surviving all four gates. Deterministic: every keep decision
+    is a min-id rule, so replays and the oracle agree row-for-row."""
+    lang = lang_id(docs)
+    qual = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    base = (
+        docs.select("doc_id", "text")
+        .join(lang.select("doc_id", "guessed_lang"), "doc_id")
+        .join(qual, "doc_id")
+        .filter(
+            F.col("guessed_lang").isin(*langs)
+            & (F.col("quality") >= min_quality)
+            & F.col("n_tokens").between(min_tokens, max_tokens)
+        )
+    )
+    # exact dedup: min doc_id per text hash (hash-partition window — one
+    # shuffle on the 32-byte hash, never on text)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # near-dup keep-one among exact survivors
+    pairs = minhash_lsh_pairs(
+        exact.select("doc_id", "text"), num_perm=32, threshold=minhash_threshold
+    )
+    clusters = dedup_clusters(exact, pairs)
+    keep = clusters.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    return exact.join(keep, "doc_id").select(
+        "doc_id", "guessed_lang", "n_tokens", "quality"
+    )
+
+
+def corpus_language_budget(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-language training-budget rollup over the KEPT corpus: document
+    count, total BPE-ish tokens, mean quality. The numbers a data-mixture
+    plan is written against (how much en/fr/de do we actually have?)."""
+    toks = token_counts(docs).select("doc_id", "n_bpe_tokens")
+    return (
+        kept.join(toks, "doc_id")
+        .groupBy("guessed_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+        )
+    )

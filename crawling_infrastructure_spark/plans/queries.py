@@ -675,6 +675,33 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def q_training_corpus(spark, sf_dir):
+    """The full corpus-construction funnel (operators/corpus.py): language
+    gate -> quality/token gate -> exact dedup (min-id per md5) -> MinHash
+    near-dup keep-one-per-component. The oracle recomputes the identical
+    funnel (incl. the recursive-CTE components over the identically
+    recomputed pairs), pinning stage order and thresholds end-to-end."""
+    from crawling_infrastructure_spark.operators.corpus import (
+        build_training_corpus,
+    )
+
+    return build_training_corpus(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_language_budget(spark, sf_dir):
+    """Per-language token-budget rollup over the kept corpus — the
+    data-mixture numbers (docs, total BPE-ish tokens, mean quality per
+    language). Runs the real funnel, then one aggregate."""
+    from crawling_infrastructure_spark.operators.corpus import (
+        build_training_corpus,
+        corpus_language_budget,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = build_training_corpus(docs, langs=("en", "fr"))
+    return corpus_language_budget(docs, kept)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -715,6 +742,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_headers": q_fingerprint_headers,
     "clean_html_dom": q_clean_html_dom,
     "dedup_clusters": q_dedup_clusters,
+    "training_corpus": q_training_corpus,
+    "corpus_language_budget": q_corpus_language_budget,
 }
 
 
@@ -755,7 +784,10 @@ WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
 """
 
 
-def _minhash_lsh_sql(num_perm: int = 32, threshold: float = 0.8, seed: int = 42) -> str:
+def _minhash_lsh_sql(
+    num_perm: int = 32, threshold: float = 0.8, seed: int = 42,
+    source: str = "documents",
+) -> str:
     """Full-pipeline MinHash-LSH oracle: identical md5-prefix hashes,
     identical (a*h+b) mod p minima (coefficients interpolated as literals
     from the same seeded generator the Spark plan uses), identical 2-row
@@ -781,8 +813,9 @@ def _minhash_lsh_sql(num_perm: int = 32, threshold: float = 0.8, seed: int = 42)
             f"struct_pack(band := {i}, bh := m{2 * i} * {1 << 31} + m{2 * i + 1})"
             for i in range(bands)
         )
+    shingles = _SHINGLES_CTE.replace("FROM documents", f"FROM {source}")
     return f"""
-WITH {_SHINGLES_CTE},
+WITH {shingles},
 hashed AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS h
   FROM sh
@@ -841,6 +874,79 @@ comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id)
 SELECT doc_id, component,
        count(*) OVER (PARTITION BY component) AS cluster_size
 FROM comp
+"""
+
+
+def _corpus_ctes(
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.02,
+    min_tokens: int = 20,
+    max_tokens: int = 1 << 20,
+) -> str:
+    """The corpus-funnel CTE chain (lang gate -> quality gate -> exact
+    dedup -> MinHash pairs over survivors -> recursive components), shared
+    by the training_corpus and corpus_language_budget oracles. Caller
+    prepends WITH RECURSIVE and appends its own final select."""
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    pairs_sql = _minhash_lsh_sql(num_perm=32, threshold=0.8, seed=42, source="exact")
+    return f"""lid AS ({_lang_id_sql()}),
+qual AS ({_quality_sql()}),
+base AS (
+  SELECT d.doc_id, d.text, l.guessed_lang, q.n_tokens, q.quality
+  FROM documents d
+  JOIN lid l USING (doc_id)
+  JOIN qual q USING (doc_id)
+  WHERE l.guessed_lang IN ({lang_list})
+    AND q.quality >= {min_quality}
+    AND q.n_tokens BETWEEN {min_tokens} AND {max_tokens}
+),
+exact AS (
+  SELECT doc_id, text, guessed_lang, n_tokens, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base)
+  WHERE rn = 1
+),
+pairs AS ({pairs_sql}),
+edges(s, d) AS (
+  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+cc(id, lbl) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM exact
+  UNION
+  SELECT e.d, cc.lbl FROM cc JOIN edges e ON cc.id = e.s
+),
+comp AS (SELECT id AS doc_id, min(lbl) AS component FROM cc GROUP BY id),
+kept AS (
+  SELECT e.doc_id, e.guessed_lang, e.n_tokens, e.quality
+  FROM exact e JOIN comp c ON c.doc_id = e.doc_id AND c.component = e.doc_id
+)"""
+
+
+def _training_corpus_sql() -> str:
+    """End-to-end corpus-funnel oracle — the whole funnel in one query."""
+    return f"""
+WITH RECURSIVE
+{_corpus_ctes()}
+SELECT doc_id, guessed_lang, n_tokens, quality FROM kept
+"""
+
+
+def _corpus_budget_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_corpus_ctes(langs=("en", "fr"))},
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT guessed_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(avg(quality), 4) AS mean_quality
+FROM kept JOIN tok USING (doc_id)
+GROUP BY guessed_lang
 """
 
 
@@ -1259,4 +1365,6 @@ SELECT doc_id,
 FROM documents
 """,
     "dedup_clusters": _dedup_clusters_sql(),
+    "training_corpus": _training_corpus_sql(),
+    "corpus_language_budget": _corpus_budget_sql(),
 }

@@ -291,3 +291,36 @@ def test_dedup_clusters_labels_singletons_and_sizes(spark):
     # keep-one rule: exactly one canonical per cluster
     keeps = [d for d, (c, _) in rows.items() if d == c]
     assert sorted(keeps) == [0, 3, 4, 5, 7]
+
+
+# ---------------------------------------------------- corpus construction
+
+
+def test_build_training_corpus_funnel_stages(spark):
+    from pyspark.sql import Row
+    from crawling_infrastructure_spark.operators.corpus import (
+        build_training_corpus,
+        corpus_language_budget,
+    )
+
+    en = ("the and for with this that from have was are " * 10).strip()  # 100 toks
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=en),                      # kept (canonical)
+        Row(doc_id=2, text=en),                      # exact dup of 1 -> dropped
+        Row(doc_id=3, text=en + " extra"),           # near-dup of 1 -> dropped
+        Row(doc_id=4, text="le la les des une du et est pour dans " * 6),  # fr -> lang gate
+        Row(doc_id=5, text="the and for"),           # 3 tokens -> token gate
+        Row(doc_id=6, text="zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg "
+                           "hh jj kk ll " * 2),      # no stopwords -> quality gate
+    ])
+    kept = build_training_corpus(
+        docs, langs=("en",), min_quality=0.02, min_tokens=20
+    )
+    rows = kept.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].guessed_lang == "en" and rows[0].n_tokens == 100
+
+    budget = corpus_language_budget(docs, kept).collect()
+    assert len(budget) == 1
+    b = budget[0]
+    assert b.guessed_lang == "en" and b.n_docs == 1 and b.total_bpe_tokens > 0
