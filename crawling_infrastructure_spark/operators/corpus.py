@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawling_infrastructure_spark.operators.dedup import (
-    dedup_clusters,
+    connected_components,
     minhash_lsh_pairs,
 )
 from crawling_infrastructure_spark.operators.textstats import (
@@ -66,13 +66,19 @@ def build_training_corpus(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # near-dup keep-one among exact survivors
+    # near-dup keep-one among exact survivors: components need only the
+    # PAIRS (vertices absent from every edge are singletons and stay), so
+    # the drop set is computed without touching the corpus again and the
+    # survivors subtree is referenced twice (shingling + final anti-join),
+    # not three times
     pairs = minhash_lsh_pairs(
         exact.select("doc_id", "text"), num_perm=32, threshold=minhash_threshold
     )
-    clusters = dedup_clusters(exact, pairs)
-    keep = clusters.filter(F.col("doc_id") == F.col("component")).select("doc_id")
-    return exact.join(keep, "doc_id").select(
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return exact.join(drop, "doc_id", "left_anti").select(
         "doc_id", "guessed_lang", "n_tokens", "quality"
     )
 
