@@ -230,6 +230,10 @@ HEADLINE_QUERIES = [
     "media_features",
     "windowed_event_counts",
     "sessionize",
+    # the composite corpus funnel (lang/quality gates -> exact dedup ->
+    # MinHash + connected-components keep-one); dedup_clusters is a strict
+    # subset of this pipeline, so only the flagship is benched
+    "training_corpus",
 ]
 
 
