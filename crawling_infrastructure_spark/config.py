@@ -53,6 +53,11 @@ class TaskConfig:
     adaptive_budget: bool = False
     # whether to honor robots.txt rules (north_rule addition; reference has none)
     respect_robots: bool = True
+    # F9 deterministic fingerprint rotation: attach ua/accept_language
+    # columns (hash-keyed picks over the reference's pools,
+    # functions/fingerprint.py) to every fetch batch for non-hermetic
+    # fetchers to consume (helpers.ts:28-59 analogue)
+    fingerprint_rotation: bool = False
     # URL-seen dedup (reference permits duplicates — SURVEY.md S4/J3;
     # north_rule requires dedup, so default True)
     dedup: bool = True

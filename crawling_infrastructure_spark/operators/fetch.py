@@ -196,6 +196,8 @@ def fetch_batch(
     by_host: bool = False,
     host_salt: int = 32,
     shuffle: bool = False,
+    fingerprints: bool = False,
+    proxies: DataFrame | None = None,
 ) -> DataFrame:
     """claimed frontier batch -> FETCH_RESULT_SCHEMA rows.
 
@@ -218,6 +220,25 @@ def fetch_batch(
     measured: fetch wall was dominated by the top host until salted.
     """
     resolved = resolve_against_corpus(claimed, corpus, shuffle=shuffle)
+    # Opt-in per-request context (the reference sets these per worker:
+    # UA/Accept-Language at helpers.ts:28-52, proxy via the get_proxy hook
+    # proxy.ts:124-150). Attached as deterministic JVM columns BEFORE the
+    # Python stage so a non-hermetic fetcher reads them off the batch pdf
+    # (pdf["ua"], pdf["proxy"], ...); replays agree because every pick is
+    # hash-keyed, never random. The hermetic fetcher ignores them.
+    if fingerprints:
+        from crawling_infrastructure_spark.functions.fingerprint import (
+            accept_language_header,
+            user_agent,
+        )
+
+        resolved = resolved.withColumn("ua", user_agent(F.col("url"))).withColumn(
+            "accept_language", accept_language_header(F.col("url"))
+        )
+    if proxies is not None:
+        from crawling_infrastructure_spark.operators.proxy import assign_proxies
+
+        resolved = assign_proxies(resolved, proxies, key="url_hash")
     if by_host:
         salted = resolved.withColumn(
             "_salt", F.pmod(F.col("url_hash"), F.lit(host_salt)).cast("int")

@@ -129,6 +129,7 @@ class CrawlJob:
         claim_snapshot: bool = True,
         crawl_fn: CrawlFunction | None = None,
         region_map: DataFrame | None = None,
+        proxies: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -139,6 +140,9 @@ class CrawlJob:
         self.crawl_fn = crawl_fn or CrawlFunction()
         # J2: optional small (host, region) lookup stamped at enqueue time
         self.region_map = region_map
+        # W2: optional proxy pool — per-row deterministic assignment on the
+        # fetch batch (operators/proxy.assign_proxies)
+        self.proxies = proxies
         # claim_snapshot=True commits the initial->running transition as its
         # own snapshot (observable intermediate state, exact kill-resume
         # parity with the reference's claim; costs one extra dirty-bucket
@@ -435,6 +439,8 @@ class CrawlJob:
             self.corpus,
             fetcher,
             shuffle=stats.claimed >= self.cfg.fetch_shuffle_min_rows,
+            fingerprints=self.cfg.fingerprint_rotation,
+            proxies=self.proxies,
         ).persist(level)
         # 6-first: the metrics append doubles as the epoch-stats source — the
         # sums (and the claimed rows' dirty-bucket set, VERDICT r2 item 1b)

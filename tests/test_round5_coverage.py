@@ -324,3 +324,83 @@ def test_build_training_corpus_funnel_stages(spark):
     assert len(budget) == 1
     b = budget[0]
     assert b.guessed_lang == "en" and b.n_docs == 1 and b.total_bpe_tokens > 0
+
+
+# ------------------------------------- fetch-path request-context wiring
+
+
+def test_fetch_batch_fingerprint_and_proxy_columns(spark, tmp_path):
+    import pandas as pd
+    from crawling_infrastructure_spark.functions.fingerprint import USER_AGENTS
+    from crawling_infrastructure_spark.operators.fetch import (
+        FETCH_RESULT_SCHEMA,
+        HermeticFetcher,
+        fetch_batch,
+    )
+    from crawling_infrastructure_spark.synth import gen_pages
+
+    corpus = gen_pages(spark, 50, 5)
+    claimed = corpus.select(
+        "url", F.xxhash64("url").alias("url_hash"),
+        F.lit("h").alias("host"), F.lit(0).alias("retries"),
+    )
+
+    class Probe(HermeticFetcher):
+        # smuggle the per-row request context out through the error column
+        def fetch_group(self, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = super().fetch_group(pdf)
+            out["error"] = (pdf["ua"] + "|" + pdf["accept_language"]
+                            + "|" + pdf["proxy"]).tolist()
+            return out
+
+    pool = spark.createDataFrame(
+        [("10.0.0.1:8000", 0, 0, 0), ("10.0.0.2:8000", 0, 0, 0)],
+        schema="proxy string, proxy_fail_counter int, last_used long, obtain_counter int",
+    )
+    res = fetch_batch(
+        claimed, corpus, Probe(epoch=1), fingerprints=True, proxies=pool
+    ).collect()
+    assert len(res) == 50
+    uas, proxies_seen = set(), set()
+    for r in res:
+        ua, al, px = r.error.split("|")
+        assert ua in USER_AGENTS
+        assert al.endswith(";q=0.9,en;q=0.8,en-US;q=0.7")
+        proxies_seen.add(px)
+        uas.add(ua)
+    assert len(uas) > 1 and proxies_seen == {"10.0.0.1:8000", "10.0.0.2:8000"}
+
+    # determinism: second run assigns identical context per url
+    res2 = fetch_batch(
+        claimed, corpus, Probe(epoch=1), fingerprints=True, proxies=pool
+    ).collect()
+    assert {r.url: r.error for r in res} == {r.url: r.error for r in res2}
+
+    # flags off -> hermetic result untouched, no context columns demanded
+    plain = fetch_batch(claimed, corpus, HermeticFetcher(epoch=1)).collect()
+    assert len(plain) == 50 and all(r.error == "" for r in plain)
+
+
+def test_crawljob_fingerprint_proxy_flags_hermetic_invariance(spark, tmp_path):
+    from crawling_infrastructure_spark.config import TaskConfig
+    from crawling_infrastructure_spark.plans.epoch import CrawlJob
+    from crawling_infrastructure_spark.sources.seeds import seeds_from_list
+    from crawling_infrastructure_spark.synth import gen_pages, seed_urls
+
+    corpus = gen_pages(spark, 200, 5).cache()
+    corpus.count()
+    pool = spark.createDataFrame(
+        [("10.0.0.1:8000", 0, 0, 0)],
+        schema="proxy string, proxy_fail_counter int, last_used long, obtain_counter int",
+    )
+    outs = []
+    for flags in (False, True):
+        cfg = TaskConfig(task_id=f"fp{int(flags)}", max_items_per_second=5,
+                         fingerprint_rotation=flags)
+        job = CrawlJob(spark, str(tmp_path / f"cat{int(flags)}"), corpus, cfg,
+                       proxies=pool if flags else None)
+        job.run(seeds=seeds_from_list(spark, seed_urls(10)), max_epochs=2)
+        pages = job.pages_t.read(spark).select("url", "text")
+        outs.append({r.url: r.text for r in pages.collect()})
+    # request-context columns must not change the hermetic crawl result
+    assert outs[0] == outs[1] and len(outs[0]) > 0
