@@ -77,3 +77,92 @@ def cosine_topk_blocked(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF — k-means coarse quantizer (the real 10^9-vector scale path)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(vec_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid — sequential JVM fold in
+    array order (summation order pinned for cross-engine parity)."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def nearest_centroid(vec_col, centroids: list[list[float]]):
+    """Index of the nearest centroid (squared L2, ties -> lower index) as a
+    pure JVM column: array_min over (dist, idx) structs — the same
+    lexicographic-struct argmin idiom as textstats.lang_id."""
+    structs = [
+        F.struct(_l2sq(vec_col, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*structs))["j"]
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = 8, iters: int = 3, vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    - init: the k lowest-vec_id vectors (reproducible, oracle-friendly)
+    - assign: JVM argmin over centroid literals (no Python, no shuffle
+      beyond the groupBy below)
+    - update: per-dimension mean via posexplode + hash aggregate (map-side
+      partial agg; the shuffle carries k*dim cells, not vectors), rounded
+      half-up to 6 decimals IN-ENGINE so partition summation-order noise
+      (~1e-15) snaps to engine-independent values
+    - empty clusters keep their previous centroid
+
+    The per-iteration driver collect is k*dim floats — the model state every
+    distributed k-means broadcasts back; data never leaves the executors.
+    Fixed ``iters`` (no convergence test) keeps the computation replayable
+    and SQL-expressible as chained CTEs for the DuckDB oracle.
+    """
+    rounded = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6))
+    init = (
+        emb.select("vec_id", rounded.alias("v"))
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+    for _ in range(iters):
+        # two selects: a generator (posexplode) in the same projection as
+        # the argmin strips the struct-field aliases nearest_centroid needs
+        assigned = emb.select(
+            nearest_centroid(F.col(vec_col), centroids).alias("j"),
+            F.col(vec_col).alias("_v"),
+        ).select("j", F.posexplode("_v").alias("pos", "x"))
+        means = (
+            assigned.groupBy("j", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty clusters carry over
+        for r in means:
+            nxt[r.j][r.pos] = r.m
+        centroids = nxt
+    return centroids
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+) -> DataFrame:
+    """ANN with the TRAINED quantizer: both sides bucket to their nearest
+    centroid, only same-cell pairs score (equi-join). Same recall trade as
+    cosine_topk_blocked but the cells come from the data, not a label
+    column; at 10^9 vectors the centroid literals broadcast with the plan
+    and bucketing costs one map-side pass."""
+    bq = queries.withColumn("blk", nearest_centroid(F.col("embedding"), centroids))
+    bc = corpus.withColumn("blk", nearest_centroid(F.col("embedding"), centroids))
+    return cosine_topk_blocked(bq, bc, k=k, block_col="blk")

@@ -366,6 +366,24 @@ def q_ann_cosine_topk_blocked(spark, sf_dir):
     return cosine_topk_blocked(qs, e, k=5, block_col="label")
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    """ANN with a TRAINED coarse quantizer: deterministic Lloyd k-means
+    (k=8, 3 fixed iterations, lowest-vec_id init, in-engine half-up
+    rounding of every centroid update) buckets corpus and probes; only
+    same-cell pairs score. The oracle retrains the identical quantizer as
+    chained CTEs — the hash compare pins the whole training computation,
+    not just the final ranking."""
+    from crawling_infrastructure_spark.operators.similarity import (
+        cosine_topk_ivf,
+        kmeans_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(e, k=8, iters=3)
+    qs = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(qs, e, centroids, k=5)
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
@@ -744,6 +762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "training_corpus": q_training_corpus,
     "corpus_language_budget": q_corpus_language_budget,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
 }
 
 
@@ -848,6 +867,72 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
+"""
+
+
+def _ann_ivf_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, probes: int = 20
+) -> str:
+    """Trained-IVF oracle: the identical deterministic k-means (lowest-id
+    init, squared-L2 argmin with index tie-break, per-dim half-up-rounded
+    means, empty-cluster carry) unrolled as chained CTEs, then the same
+    intra-cell cosine ranking as the blocked oracle."""
+
+    def dist(e_emb: str, c_emb: str) -> str:
+        t = f"(CAST({e_emb}[i] AS DOUBLE) - {c_emb}[i])"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), i -> {t} * {t}))"
+        )
+
+    parts = [
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, emb FROM (
+    SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS emb
+    FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, j FROM (
+    SELECT e.vec_id, e.embedding, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist("e.embedding", "c.emb")}, c.j) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+  SELECT p.j, COALESCE(u.emb, p.emb) AS emb
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT j, list(m ORDER BY pos) AS emb FROM (
+      SELECT j, pos, round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS m
+      FROM a{i} CROSS JOIN generate_series(1, {dim}) AS t(pos)
+      GROUP BY j, pos) GROUP BY j) u USING (j)
+)"""
+        )
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, embedding, j FROM (
+    SELECT e.vec_id, e.embedding, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist("e.embedding", "c.emb")}, c.j) AS rn
+    FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) DESC, b.vec_id
+         ) AS rank
+  FROM af a JOIN af b ON a.j = b.j AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {probes})
+WHERE rank <= {topk}
 """
 
 
@@ -1367,4 +1452,5 @@ FROM documents
     "dedup_clusters": _dedup_clusters_sql(),
     "training_corpus": _training_corpus_sql(),
     "corpus_language_budget": _corpus_budget_sql(),
+    "ann_cosine_topk_ivf": _ann_ivf_sql(),
 }

@@ -404,3 +404,47 @@ def test_crawljob_fingerprint_proxy_flags_hermetic_invariance(spark, tmp_path):
         outs.append({r.url: r.text for r in pages.collect()})
     # request-context columns must not change the hermetic crawl result
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+# ------------------------------------------------------ trained IVF ANN
+
+
+def test_kmeans_train_deterministic_and_empty_cluster_carry(spark):
+    from crawling_infrastructure_spark.operators.similarity import kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_train(emb, k=4, iters=2)
+    c2 = kmeans_train(emb, k=4, iters=2)
+    assert c1 == c2 and len(c1) == 4 and len(c1[0]) == 64
+
+    # identical vectors: ties all assign to j=0 (index tie-break), so
+    # cluster 1 is empty every iteration and must carry its init centroid
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)],
+        schema="vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(same, k=2, iters=2)
+    assert cents[0] == [1.0, 2.0] and cents[1] == [1.0, 2.0]
+
+
+def test_cosine_topk_ivf_recall_vs_bruteforce(spark):
+    from crawling_infrastructure_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        kmeans_train,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = cosine_topk_bruteforce(qs, emb, k=5).collect()
+    cents = kmeans_train(emb, k=8, iters=3)
+    approx = cosine_topk_ivf(qs, emb, cents, k=5).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(t & a) / len(t)
+    # IVF trades recall for the equi-join; the trained quantizer must keep
+    # a solid fraction of true neighbors in-cell on the synthetic corpus
+    assert recall >= 0.5, f"recall {recall}"
+    # every reported neighbor ranks by true cosine within its cell
+    assert all(r.rank >= 1 and r.rank <= 5 for r in approx)
