@@ -381,7 +381,7 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     centroids = kmeans_train(e, k=8, iters=3)
     qs = e.filter(F.col("vec_id") < 20)
-    return cosine_topk_ivf(qs, e, centroids, k=5)
+    return cosine_topk_ivf(qs, e, centroids, k=5, nprobe=2)
 
 
 def q_lang_id(spark, sf_dir):
@@ -871,7 +871,8 @@ WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
 
 
 def _ann_ivf_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, probes: int = 20
+    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, probes: int = 20,
+    nprobe: int = 1,
 ) -> str:
     """Trained-IVF oracle: the identical deterministic k-means (lowest-id
     init, squared-L2 argmin with index tie-break, per-dim half-up-rounded
@@ -920,6 +921,16 @@ def _ann_ivf_sql(
     FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1
 )"""
     )
+    parts.append(
+        f"""qf AS (
+  SELECT vec_id, embedding, j FROM (
+    SELECT e.vec_id, e.embedding, c.j,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist("e.embedding", "c.emb")}, c.j) AS rn
+    FROM embeddings e CROSS JOIN c{iters} c
+    WHERE e.vec_id < {probes}) WHERE rn <= {nprobe}
+)"""
+    )
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -930,8 +941,7 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
            PARTITION BY a.vec_id
            ORDER BY round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4) DESC, b.vec_id
          ) AS rank
-  FROM af a JOIN af b ON a.j = b.j AND a.vec_id <> b.vec_id
-  WHERE a.vec_id < {probes})
+  FROM qf a JOIN af b ON a.j = b.j AND a.vec_id <> b.vec_id)
 WHERE rank <= {topk}
 """
 
@@ -1452,5 +1462,5 @@ FROM documents
     "dedup_clusters": _dedup_clusters_sql(),
     "training_corpus": _training_corpus_sql(),
     "corpus_language_budget": _corpus_budget_sql(),
-    "ann_cosine_topk_ivf": _ann_ivf_sql(),
+    "ann_cosine_topk_ivf": _ann_ivf_sql(nprobe=2),
 }

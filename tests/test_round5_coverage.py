@@ -448,3 +448,8 @@ def test_cosine_topk_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"recall {recall}"
     # every reported neighbor ranks by true cosine within its cell
     assert all(r.rank >= 1 and r.rank <= 5 for r in approx)
+    # the nprobe lever: probing 2 cells must not lose recall vs 1
+    approx2 = cosine_topk_ivf(qs, emb, cents, k=5, nprobe=2).collect()
+    a2 = {(r.query_id, r.neighbor_id) for r in approx2}
+    recall2 = len(t & a2) / len(t)
+    assert recall2 >= recall, f"nprobe=2 recall {recall2} < nprobe=1 {recall}"
