@@ -279,17 +279,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "1"))
     loud = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_MAX_LOAD", "8"))
+    max_neighbor = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_NEIGHBOR_CORES", "2.0")
+    )
     times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         best = None
         for _ in range(1 + max(retries, 0)):
+            ph = PhaseInterference()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
             if best is None or wall < best:
                 best = wall
-            if _loadavg1() < loud:
+            itf = ph.finish()
+            # neighbor-cores is the precise detector; 1-min loadavg lags a
+            # burst by minutes (observed: 4x query walls at loadavg < 8)
+            if itf.get("neighbor_cores", 0.0) <= max_neighbor and _loadavg1() < loud:
                 break
         times[name] = round(best, 3)
     return times
