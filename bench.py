@@ -101,10 +101,16 @@ class PhaseInterference:
     def finish(self) -> dict:
         wall = max(time.time() - self.t0, 1e-9)
         out = {"host_sys_share": self.sys.finish()}
+        proc_sec = CpuTracker._proc_tree_stats()[0] - self.proc0
+        # own effective parallelism: the only visible signal for the THIRD
+        # pathology — invisible core starvation (observed: 6 effective
+        # cores of 32, 166 p/s vs 630 clean, with sys-share AND
+        # neighbor-cores both reading clean; whatever steals the cores is
+        # below this sandbox's cgroup visibility)
+        out["own_cores"] = round(proc_sec / wall, 1)
         host1 = CpuTracker._host_ns()
         if self.host0 >= 0 and host1 >= 0:
             host_sec = (host1 - self.host0) / 1e9
-            proc_sec = CpuTracker._proc_tree_stats()[0] - self.proc0
             out["neighbor_cores"] = round(
                 max(host_sec - proc_sec, 0.0) / wall, 2
             )
@@ -461,6 +467,22 @@ def main() -> None:
         max_neighbor = float(
             os.environ.get("SPARK_GRAFT_BENCH_MAX_NEIGHBOR_CORES", "2.0")
         )
+        # invisible core starvation: a big crawl at full width should busy
+        # well over 22% of the requested cores (clean ~0.4-0.6x; the
+        # starved state measured 0.19x); small/driver-bound runs are exempt
+        min_own = (
+            0.22 * cpus
+            if crawl_pages >= 20000
+            else float(os.environ.get("SPARK_GRAFT_BENCH_MIN_OWN_CORES", "0"))
+        )
+
+        def is_clean(c: dict) -> bool:
+            return (
+                c["host_sys_share"] <= storm_sys
+                and c.get("neighbor_cores", 0.0) <= max_neighbor
+                and c.get("own_cores", 1e9) >= min_own
+            )
+
         attempts = []
         for attempt in range(1 + max(crawl_retries, 0)):
             ph = PhaseInterference()
@@ -468,22 +490,14 @@ def main() -> None:
             c.update(ph.finish())
             c["attempt"] = attempt
             attempts.append(c)
-            if (
-                c["host_sys_share"] <= storm_sys
-                and c.get("neighbor_cores", 0.0) <= max_neighbor
-            ):
+            if is_clean(c):
                 break
             # bounded re-quiet before the retry (waits NOT added to total)
             for _ in range(10):
                 if _loadavg1() < gate and _host_sys_share() < max_sys:
                     break
                 time.sleep(15)
-        clean = [
-            c
-            for c in attempts
-            if c["host_sys_share"] <= storm_sys
-            and c.get("neighbor_cores", 0.0) <= max_neighbor
-        ]
+        clean = [c for c in attempts if is_clean(c)]
         # best-of-N: interference only ever slows us, so the fastest clean
         # attempt (or fastest overall if none were clean) is the engine number
         crawl = max(clean or attempts, key=lambda c: c["pages_per_sec"])
