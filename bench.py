@@ -272,15 +272,20 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     """Per-query walls, each taken under the cleanest window available.
 
     A tenant CPU burst landing on ONE query inflates it 5-10x (observed:
     embedding_neardup 4 s clean -> 42 s under a load-20 burst) without any
-    kernel-storm signature, so each query records the 1-min load delta
-    around it and is re-run (bounded) when its window was loud. Best of the
-    attempts is published — same best-of-N discipline as the crawl phase.
+    kernel-storm signature, so every attempt runs under the SAME
+    three-detector PhaseInterference the crawl phase uses, every attempt
+    record is published (query_attempts), and the published wall per query
+    is best-of-clean (best overall only when no attempt was clean, flagged
+    per query in query_dirty). Adjudication parity with crawl_attempts was
+    VERDICT r4 "what's wrong" #2: without the records, a host burst and an
+    engine regression are indistinguishable post-hoc.
     """
+    from crawling_infrastructure_spark.operators.corpus import release_checkpoints
     from crawling_infrastructure_spark.plans.queries import QUERIES
 
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "1"))
@@ -289,23 +294,40 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         os.environ.get("SPARK_GRAFT_BENCH_MAX_NEIGHBOR_CORES", "2.0")
     )
     times: dict[str, float] = {}
+    attempts: dict[str, list[dict]] = {}
+    dirty: list[str] = []
     for name in HEADLINE_QUERIES:
-        best = None
-        for _ in range(1 + max(retries, 0)):
+        recs: list[dict] = []
+        for attempt in range(1 + max(retries, 0)):
             ph = PhaseInterference()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             wall = time.time() - t0
-            if best is None or wall < best:
-                best = wall
-            itf = ph.finish()
+            rec = {"attempt": attempt, "wall": round(wall, 3)}
+            rec.update(ph.finish())
+            # a retried training_corpus otherwise piles localCheckpoint RDD
+            # blocks for the session lifetime (ADVICE r4)
+            release_checkpoints()
             # neighbor-cores is the precise detector; 1-min loadavg lags a
             # burst by minutes (observed: 4x query walls at loadavg < 8)
-            if itf.get("neighbor_cores", 0.0) <= max_neighbor and _loadavg1() < loud:
+            rec["clean"] = (
+                rec.get("neighbor_cores", 0.0) <= max_neighbor
+                and _loadavg1() < loud
+            )
+            recs.append(rec)
+            if rec["clean"]:
                 break
-        times[name] = round(best, 3)
-    return times
+        clean = [r for r in recs if r["clean"]]
+        best = min(clean or recs, key=lambda r: r["wall"])
+        times[name] = best["wall"]
+        attempts[name] = recs
+        if not clean:
+            dirty.append(name)
+    meta = {"query_attempts": attempts}
+    if dirty:
+        meta["query_dirty"] = dirty
+    return times, meta
 
 
 def bench_crawl(spark, n_pages: int, n_hosts: int) -> dict:
@@ -455,7 +477,8 @@ def main() -> None:
     if mode in ("all", "queries"):
         t0 = time.time()
         ph = PhaseSysShare()
-        out["queries"] = bench_queries(spark, sf_dir)
+        out["queries"], qmeta = bench_queries(spark, sf_dir)
+        out.update(qmeta)
         out["queries_host_sys_share"] = ph.finish()
         total += time.time() - t0
     if mode in ("all", "crawl"):

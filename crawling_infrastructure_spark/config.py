@@ -159,13 +159,14 @@ def update_task(cfg: TaskConfig, updates: dict) -> TaskConfig:
     config may still be referenced by a running epoch).
 
     Validation mirrors crawltask.service.ts:939-1000 exactly, including its
-    operator quirks: `retry_failed_items` (ts:945-949) and
-    `num_lost_workers` (ts:985-989) use `||` and genuinely enforce their
-    ranges, while `max_lost_workers` / `max_workers` /
-    `max_items_per_worker` / `priority` / `num_workers_running` (ts:951-981)
-    write `x < 0 && x > N` — an always-false conjunction — so for those only
+    operator quirks: `retry_failed_items` (ts:945-949),
+    `num_workers_running` (ts:970-974) and `num_lost_workers` (ts:983-987)
+    use `||` and genuinely enforce their ranges, while `max_lost_workers` /
+    `max_workers` / `max_items_per_worker` / `priority` (ts:951-981) write
+    `x < 0 && x > N` — an always-false conjunction — so for those only
     the typeof-number check can actually reject. `max_items_per_second`
     (ts:939-943) says "must be positive number" but tests only typeof.
+    `name` (ts:989-993) must be a string of length <= 200.
     Replicating the quirk is deliberate: a payload the reference accepts
     must be accepted here, byte-for-byte semantics over intent.
 
@@ -199,8 +200,15 @@ def update_task(cfg: TaskConfig, updates: dict) -> TaskConfig:
     ):
         if update.get(key) and not _num(update[key]):
             raise ValueError(f"{key} must be number in range {rng}")
-    if update.get("num_workers_running") and not _num(update["num_workers_running"]):
-        raise ValueError("num_workers_running must be number larger 0")
+    if update.get("num_workers_running"):
+        v = update["num_workers_running"]
+        # genuine || in the reference (ts:970-974): negatives ARE rejected
+        if not _num(v) or v < 0:
+            raise ValueError("num_workers_running must be number larger 0")
+    if update.get("name"):
+        v = update["name"]
+        if not isinstance(v, str) or len(v) > 200:
+            raise ValueError("name must be a string of max length of 200")
 
     import dataclasses
 

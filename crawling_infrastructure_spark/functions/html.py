@@ -114,7 +114,9 @@ def extract_links_col(html_str: Column) -> Column:
     """JVM-side variant: regexp_extract_all stays inside codegen — use this
     for analytics over the pages table (domain counts) where the per-row UDF
     cost would dominate at 100 TB."""
-    return F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN.replace("\\s", r"\s")), 1)
+    # Java regex shares this pattern's syntax verbatim; (?i) mirrors the
+    # Python side's re.IGNORECASE so both extractors see <A HREF=...> too.
+    return F.regexp_extract_all(html_str, F.lit("(?i)" + _HREF_PATTERN), 1)
 
 
 def extract_text(

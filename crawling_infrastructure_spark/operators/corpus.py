@@ -34,6 +34,27 @@ from crawling_infrastructure_spark.operators.textstats import (
     token_counts,
 )
 
+# Live localCheckpoint handles created by build_training_corpus. The
+# checkpointed survivor blocks persist for the session lifetime unless
+# unpersisted; a caller that re-runs the funnel (bench retry loops, repeated
+# driver queries) must drain them between runs via release_checkpoints().
+_live_checkpoints: list[DataFrame] = []
+
+
+def release_checkpoints() -> int:
+    """Unpersist every survivor checkpoint created since the last release.
+    Safe to call at any time (idempotent, exception-tolerant: the session
+    may already be gone). Returns the number released."""
+    n = 0
+    while _live_checkpoints:
+        df = _live_checkpoints.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def build_training_corpus(
     docs: DataFrame,
@@ -73,8 +94,12 @@ def build_training_corpus(
         # sides) — without materialization Catalyst recomputes the whole
         # gate+window subtree per reference (measured 44 s -> 13 s at
         # sf0.1). localCheckpoint also truncates lineage ahead of the
-        # iterative component rounds.
-        exact = exact.localCheckpoint(eager=False)
+        # iterative component rounds. Eager (not lazy): the first consumer
+        # is the LSH signature aggregate fanning out to four join sides —
+        # lazy checkpointing let that first multi-sided stage race the
+        # materialization (VERDICT r4 next-steps #5).
+        exact = exact.localCheckpoint(eager=True)
+        _live_checkpoints.append(exact)
     # near-dup keep-one among exact survivors: components need only the
     # PAIRS (vertices absent from every edge are singletons and stay), so
     # the drop set is computed without touching the corpus again and the

@@ -7,7 +7,9 @@ Reference semantics (crawler/src/proxy.ts):
   used, then least-obtained proxy wins; the winner's ``last_used`` and
   ``obtain_counter`` are bumped atomically.
 - ``updateProxy`` (proxy.ts:53-83): reason→update mapping
-  ``blocked``      → status='blocked', last_blocked=now, block_counter+=1
+  ``blocked``      → last_used=now, last_blocked=now, block_counter+=1
+                     (status is NOT touched — a blocked proxy sinks in the
+                     pick order via last_used, it is not removed from play)
   ``damaged``      → status='damaged', last_used=now
   ``check_failed`` → last_used=now, proxy_fail_counter+=1
 - ``getFreshProxy`` (proxy.ts:86-122): up to 5 pick/check attempts; a
@@ -110,8 +112,11 @@ def mark_proxy(
     for c in proxies.columns:
         col = F.col(c)
         if reason == "blocked":
-            if c == "status":
-                col = F.when(proxy_id, F.lit("blocked")).otherwise(col)
+            # proxy.ts:57-62 — last_used IS bumped and status is NOT:
+            # the blocked proxy sinks to the back of the LRU pick order
+            # instead of leaving the pool (blocks are often temporary).
+            if c == "last_used":
+                col = F.when(proxy_id, F.lit(now_ts)).otherwise(col)
             elif c == "last_blocked":
                 col = F.when(proxy_id, F.lit(now_ts)).otherwise(col)
             elif c == "block_counter":
@@ -131,7 +136,11 @@ def mark_proxy(
 
 
 def assign_proxies(
-    batch: DataFrame, proxies: DataFrame, key: str = "url_hash"
+    batch: DataFrame,
+    proxies: DataFrame,
+    key: str = "url_hash",
+    predicate: Column | None = None,
+    hash_col: Column | None = None,
 ) -> DataFrame:
     """Scale path: deterministic per-row proxy assignment for a claim batch.
 
@@ -141,8 +150,21 @@ def assign_proxies(
     ``rank == pmod(hash(key), n_pool) + 1`` onto the batch. The big side
     never shuffles; the pool is broadcast (O(10^2..10^4) rows).
 
+    ``predicate`` is the caller's IProxyFilter; by default the reference's
+    baseline filter is applied — get_proxy only ever hands out functional
+    proxies (worker.ts:368-372 builds ``{status: functional, ...user}``),
+    so damaged/expired rows never reach a fetch row.
+
+    ``hash_col`` overrides the slot hash (default ``xxhash64(key)``) with a
+    caller-supplied deterministic non-negative integer column — used by the
+    oracle-checked rotation query, where the oracle engine lacks xxhash64.
+
     Adds a ``proxy`` column to ``batch``.
     """
+    if predicate is None and "status" in proxies.columns:
+        predicate = F.col("status") == "functional"
+    if predicate is not None:
+        proxies = proxies.filter(predicate)
     w = Window.orderBy(*_pick_order())
     ranked = proxies.select(
         F.col("proxy").alias("_assigned_proxy"),
@@ -153,10 +175,86 @@ def assign_proxies(
         # getFreshProxy returns null on an empty pool -> caller aborts
         # (proxy.ts:120-122); here: batch with a null proxy column.
         return batch.withColumn("proxy", F.lit(None).cast("string"))
-    slot = (F.pmod(F.xxhash64(F.col(key)), F.lit(n)) + 1).cast("int")
+    h = hash_col if hash_col is not None else F.xxhash64(F.col(key))
+    slot = (F.pmod(h, F.lit(n)) + 1).cast("int")
     return (
         batch.withColumn("_proxy_rank", slot)
         .join(F.broadcast(ranked), "_proxy_rank", "left")
         .drop("_proxy_rank")
         .withColumnRenamed("_assigned_proxy", "proxy")
     )
+
+
+def proxy_feedback(
+    outcomes: DataFrame,
+    proxies: DataFrame,
+    now_ts: int,
+    key: str = "url_hash",
+    hash_col: Column | None = None,
+) -> DataFrame:
+    """Fold an epoch's fetch outcomes back into the pool — the rotation
+    feedback loop the reference runs per request (handler.ts:171-176: a
+    blocked response triggers getFreshProxy; proxy.ts:86-122: a failing
+    pick is marked check_failed and re-picked).
+
+    ``outcomes``: the light fetch-result frame — rows with (``key``,
+    ``status``, ``retries_delta``). Each row's serving proxy is RE-DERIVED
+    with the same deterministic ``assign_proxies`` expression over the same
+    pool state the epoch fetched under, so attribution costs one tiny
+    aggregate (<= pool-size rows shuffled) instead of carrying the proxy
+    string through the Python fetch stage.
+
+    Aggregated mark semantics == N sequential updateProxy calls sharing one
+    timestamp (counter increments commute; last_used/last_blocked writes of
+    the same ``now_ts`` are idempotent):
+      blocked rows (retries_delta == 0)  block_counter += n_blocked,
+                                         last_blocked = now, last_used = now
+                                         (proxy.ts:57-62)
+      failed rows  (retries_delta  > 0)  proxy_fail_counter += n_failed,
+                                         last_used = now — the check_failed
+                                         mark getFreshProxy issues for a
+                                         pick that fails its health check
+                                         (proxy.ts:96-118)
+
+    The updated pool re-ranks next epoch's ``assign_proxies``: a marked
+    proxy's bumped counters sink it in the W2 pick order, so a URL re-tried
+    next epoch lands on a DIFFERENT proxy — the reference's rotation,
+    re-expressed batch-wise.
+
+    Returns the updated pool (same schema as ``proxies``).
+    """
+    from crawling_infrastructure_spark.schema import Status
+
+    assigned = assign_proxies(
+        outcomes.select(key, "status", "retries_delta"),
+        proxies,
+        key=key,
+        hash_col=hash_col,
+    )
+    failed = F.col("status") == int(Status.FAILED)
+    marks = (
+        assigned.filter(failed)
+        .groupBy("proxy")
+        .agg(
+            F.count(F.when(F.col("retries_delta") == 0, 1)).alias("_nb"),
+            F.count(F.when(F.col("retries_delta") > 0, 1)).alias("_nf"),
+        )
+        .filter((F.col("_nb") > 0) | (F.col("_nf") > 0))
+    )
+    pool = proxies.join(F.broadcast(marks), "proxy", "left")
+    nb = F.coalesce(F.col("_nb"), F.lit(0))
+    nf = F.coalesce(F.col("_nf"), F.lit(0))
+    touched = (nb > 0) | (nf > 0)
+    cols = []
+    for c in proxies.columns:
+        col = F.col(c)
+        if c == "last_used":
+            col = F.when(touched, F.lit(now_ts)).otherwise(col)
+        elif c == "last_blocked":
+            col = F.when(nb > 0, F.lit(now_ts)).otherwise(col)
+        elif c == "block_counter":
+            col = col + nb
+        elif c == "proxy_fail_counter":
+            col = col + nf
+        cols.append(col.alias(c))
+    return pool.select(*cols)

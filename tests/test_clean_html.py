@@ -73,3 +73,34 @@ def test_none_passthrough():
 def test_extract_links():
     html = '<a href="http://x.com/a">t</a><a class="z" href=\'/rel\'>r</a><a href=" ">e</a>'
     assert extract_links(html) == ["http://x.com/a", "/rel"]
+
+
+def test_extract_links_col_jvm_parity(spark):
+    """extract_links (Python re) and extract_links_col (JVM
+    regexp_extract_all) must agree on quote style and tag case — they share
+    one pattern string, and the JVM side carries (?i) to mirror
+    re.IGNORECASE. The JVM side keeps whitespace-only hrefs (the Python side
+    strips them post-match), so parity is checked pre-strip."""
+    from pyspark.sql import functions as F
+
+    from crawling_infrastructure_spark.functions.html import (
+        RE_HREF,
+        extract_links_col,
+    )
+
+    cases = [
+        '<a href="http://x.com/a">double</a>',
+        "<a href='http://x.com/b'>single</a>",
+        '<A HREF="http://x.com/c">upper</A>',
+        '<a class="z" href=\'/rel\'>attrs-first</a>',
+        '<a href=" ">ws-only</a>',
+        '<a href="http://x.com/1">1</a><a href=\'/2\'>2</a><A Href="/3">3</A>',
+        "no links here",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html string")
+    got = {
+        r.html: r.links
+        for r in df.select("html", extract_links_col(F.col("html")).alias("links")).collect()
+    }
+    for c in cases:
+        assert got[c] == RE_HREF.findall(c), c

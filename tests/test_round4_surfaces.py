@@ -252,3 +252,16 @@ def test_update_task_whitelist_and_validation():
     # booleans are not numbers (typeof true !== 'number')
     with _pytest.raises(ValueError):
         update_task(cfg, {"priority": True})
+
+    # num_workers_running is a genuine || (ts:970-974): negatives rejected
+    with _pytest.raises(ValueError):
+        update_task(cfg, {"num_workers_running": -1})
+    assert update_task(cfg, {"num_workers_running": 3}).extra[
+        "num_workers_running"] == 3
+
+    # name must be a string of max length 200 (ts:989-993)
+    with _pytest.raises(ValueError):
+        update_task(cfg, {"name": "x" * 201})
+    with _pytest.raises(ValueError):
+        update_task(cfg, {"name": 42})
+    assert update_task(cfg, {"name": "x" * 200}).extra["name"] == "x" * 200
