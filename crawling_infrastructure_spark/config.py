@@ -58,9 +58,22 @@ class TaskConfig:
     # functions/fingerprint.py) to every fetch batch for non-hermetic
     # fetchers to consume (helpers.ts:28-59 analogue)
     fingerprint_rotation: bool = False
+    # store_browser_debug (config.ts:233-234, default false): failed fetch
+    # rows carry {screen_b64, document} debug artifacts (handler.ts:178-180)
+    # into a per-task debug table; worker-meta's items_browser_debug id list
+    # is derivable from it (operators/metrics.items_browser_debug)
+    store_browser_debug: bool = False
     # URL-seen dedup (reference permits duplicates — SURVEY.md S4/J3;
     # north_rule requires dedup, so default True)
     dedup: bool = True
+    # content-level near-dup detection on admitted pages: each epoch's
+    # completed pages fold into an incremental MinHash-LSH band store
+    # (operators/neardup.NearDupStore) and detected (doc_a, doc_b, jaccard)
+    # pairs append to a neardup_pairs table. Off by default — it is an
+    # LLM-corpus concern, not reference crawl semantics.
+    neardup_pages: bool = False
+    neardup_num_perm: int = 32
+    neardup_threshold: float = 0.8
     # Bloom filter sizing for the seen-set scale path
     seen_buckets: int = 32
     bloom_fpp: float = 0.001

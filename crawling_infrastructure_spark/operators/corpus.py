@@ -42,10 +42,13 @@ _live_checkpoints: list[DataFrame] = []
 
 
 def release_checkpoints() -> int:
-    """Unpersist every survivor checkpoint created since the last release.
+    """Unpersist every survivor checkpoint created since the last release,
+    plus the component checkpoints dedup.connected_components parked.
     Safe to call at any time (idempotent, exception-tolerant: the session
     may already be gone). Returns the number released."""
-    n = 0
+    from crawling_infrastructure_spark.operators import dedup as _dedup
+
+    n = _dedup.release_checkpoints()
     while _live_checkpoints:
         df = _live_checkpoints.pop()
         try:

@@ -31,6 +31,25 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# The final connected-components round's localCheckpoint backs the returned
+# plan and cannot be unpersisted before the caller's action — loopers
+# (bench retries, repeated driver queries) drain it here. Same contract as
+# operators/corpus._live_checkpoints (which chains to this on release).
+_live_checkpoints: list[DataFrame] = []
+
+
+def release_checkpoints() -> int:
+    """Unpersist finished component checkpoints. Idempotent and safe when
+    the session is already gone. Returns the number released."""
+    n = 0
+    while _live_checkpoints:
+        try:
+            _live_checkpoints.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5(text) -> keeper (min id) + copy count."""
@@ -175,6 +194,60 @@ def tune_bands(num_perm: int, threshold: float, miss_prob: float = 1e-4) -> tupl
     return num_perm, 1
 
 
+def minhash_band_rows(
+    docs: DataFrame, num_perm: int = 32, bands: int | None = None, n: int = 3,
+    threshold: float = 0.8, seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band rows — the bucketable sketch two
+    docs collide in iff they are LSH candidates. Band key: for r<=2 an
+    exact arithmetic packing of the band's minima (SQL-reproducible — the
+    DuckDB oracle recomputes the identical candidate set); murmur mix for
+    wider bands (collisions only ADD candidates, verification keeps
+    precision exact)."""
+    if bands is None:
+        bands, _ = tune_bands(num_perm, threshold)
+    rows_per_band = num_perm // bands
+    docs = docs.select(F.col("doc_id").cast("long"), "text")
+    sig = minhash_signatures(docs, num_perm, n, seed)
+
+    def band_key(bidx: int):
+        cols = [F.col(f"m{bidx * rows_per_band + j}") for j in range(rows_per_band)]
+        if rows_per_band == 1:
+            return cols[0]
+        if rows_per_band == 2:
+            return cols[0] * F.lit(1 << 31) + cols[1]  # both < 2^31 -> < 2^62
+        return F.hash(*cols).cast("long")
+
+    band_structs = F.array(*[
+        F.struct(F.lit(bidx).alias("band"), band_key(bidx).alias("band_hash"))
+        for bidx in range(bands)
+    ])
+    return sig.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", F.col("s.band").alias("band"), F.col("s.band_hash").alias("band_hash")
+    )
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame, texts: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs only: explode each
+    candidate by doc_a's shingles, equi-join doc_b's shingles -> shared
+    counts. Cost is O(|candidates| x shingles/doc), independent of corpus
+    pair count. ``texts`` (doc_id, text) must cover every id appearing in
+    ``candidates``."""
+    sh = word_shingles(texts, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sizes, threshold)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 32, bands: int | None = None, n: int = 3,
     threshold: float = 0.8, seed: int = 42,
@@ -188,31 +261,8 @@ def minhash_lsh_pairs(
     default to the threshold-tuned layout). Shingles hash via md5
     (deterministic across workers — Python's hash() is salted per process
     and must never reach a shuffle key)."""
-    if bands is None:
-        bands, _ = tune_bands(num_perm, threshold)
-    rows_per_band = num_perm // bands
     docs = docs.select(F.col("doc_id").cast("long"), "text")
-
-    sig = minhash_signatures(docs, num_perm, n, seed)
-    # band key: for r<=2 an exact arithmetic packing of the band's values
-    # (SQL-reproducible — the DuckDB oracle recomputes the identical
-    # candidate set); murmur mix for wider bands (collisions only ADD
-    # candidates, verification keeps precision exact)
-    def band_key(bidx: int):
-        cols = [F.col(f"m{bidx * rows_per_band + j}") for j in range(rows_per_band)]
-        if rows_per_band == 1:
-            return cols[0]
-        if rows_per_band == 2:
-            return cols[0] * F.lit(1 << 31) + cols[1]  # both < 2^31 -> < 2^62
-        return F.hash(*cols).cast("long")
-
-    band_structs = F.array(*[
-        F.struct(F.lit(bidx).alias("band"), band_key(bidx).alias("band_hash"))
-        for bidx in range(bands)
-    ])
-    band_rows = sig.select("doc_id", F.explode(band_structs).alias("s")).select(
-        "doc_id", F.col("s.band").alias("band"), F.col("s.band_hash").alias("band_hash")
-    )
+    band_rows = minhash_band_rows(docs, num_perm, bands, n, threshold, seed)
     l = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     r = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -221,20 +271,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    # exact verification restricted to candidates: explode each candidate by
-    # doc_a's shingles, equi-join doc_b's shingles -> shared counts. Cost is
-    # O(|candidates| x shingles/doc), independent of corpus pair count.
-    sh = word_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    return _jaccard_from_shared(shared, sizes, threshold)
+    return verify_jaccard_pairs(candidates, docs, n, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -400,12 +437,28 @@ def connected_components(
         return row["n"], row["h"]
 
     prev = None
+    stale = None
     for _ in range(max_rounds):
-        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action right below materializes it,
+        # so each round costs ONE job (eager=True ran a separate
+        # materialization job first — 2x driver round-trips per round).
+        # Single-consumer between here and the next round, so the lazy
+        # checkpoint cannot race a multi-sided plan (unlike corpus.py's
+        # survivor checkpoint, which fans out four ways).
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = checksum(e)
+        # the previous round's blocks fed this round's star and are dead
+        # once the new checkpoint is materialized — without the unpersist
+        # every round leaks its edge RDD for the session lifetime
+        if stale is not None:
+            stale.unpersist()
+        stale = e
         if cur == prev:
             break
         prev = cur
+    # the FINAL round's checkpoint backs the returned plan; callers that
+    # loop (bench retries) reclaim it via release_checkpoints()
+    _live_checkpoints.append(e)
     # converged: star graphs, every edge is (member, root) with root < member
     members = e.select(F.col("d").alias("id"), F.col("s").alias("component"))
     # guard: if a member appears with two roots (max_rounds hit before

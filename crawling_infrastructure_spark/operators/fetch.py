@@ -82,6 +82,13 @@ class HermeticFetcher:
     # carry the raw html of completed rows through the result frame (one
     # corpus scan per epoch; see FETCH_RESULT_SCHEMA note / cfg.carry_html_max_rows)
     carry_html: bool = False
+    # store_browser_debug (config.ts:233-234, default false): failed rows
+    # carry worker.getDebugInfo() — {screen_b64, document}
+    # (handler.ts:178-180). The screenshot is a browser-codec boundary the
+    # sandbox can't cross (like operators/multimodal's decoders), so
+    # screen_b64 is a DETERMINISTIC STAND-IN (base64 of a labeled marker);
+    # document is the real page DOM at failure when the fetch resolved one.
+    store_debug: bool = False
 
     def outcome(self, url: str) -> str:
         if self.outcome_fn is None:
@@ -109,10 +116,22 @@ class HermeticFetcher:
         links_o: list = [None] * n
         nbytes_o = [0] * n
         html_o: list = [None] * n
+        debug_o: list = [None] * n
         extract, outlinks = self.func.extract, self.func.outlinks
         get_key, carry = self.func.get_key, self.carry_html
         for i, (url, html) in enumerate(zip(urls, htmls)):
             outcome = self.outcome(url)
+            if self.store_debug and (html is None or outcome != OUTCOME_OK):
+                import base64
+
+                debug_o[i] = {
+                    "screen_b64": base64.b64encode(
+                        f"screenshot-stub:{url}".encode()
+                    ).decode(),
+                    "document": None
+                    if html is None
+                    else bytes(html).decode("utf-8", errors="replace"),
+                }
             if html is None:
                 # URL not in corpus == connection error; consumes a retry
                 status_o[i], error_o[i] = Status.FAILED, "RequestError: getaddrinfo ENOTFOUND"
@@ -151,6 +170,7 @@ class HermeticFetcher:
                 # under (worker.getKey); rides into the pages table
                 "item_key": [get_key(u) for u in urls],
                 "html": html_o,
+                "browser_debug": debug_o,
             }
         )
 

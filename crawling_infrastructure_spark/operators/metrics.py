@@ -49,6 +49,17 @@ def epoch_metrics(results: DataFrame, epoch: int) -> DataFrame:
     )
 
 
+def items_browser_debug(debug: DataFrame) -> DataFrame:
+    """worker-meta ``items_browser_debug`` (crawl_queue.ts:173-180: the
+    update collects the worker's FAILED item ids into an id array) over the
+    per-task debug table: per (epoch, host) sorted failed-id list. Sorted
+    so replays and engines agree on array order (Mongo preserved the
+    worker's item iteration order; a distributed collect_list does not)."""
+    return debug.groupBy("epoch", "host").agg(
+        F.sort_array(F.collect_list("url_hash")).alias("items_browser_debug")
+    )
+
+
 def lost_worker_candidates(worker_meta: DataFrame) -> DataFrame:
     """P4 getLostWorkerCandidates (master/src/models/workermeta.model.ts:
     126-130): ``find({status: started, ended: null,

@@ -67,6 +67,7 @@ from crawling_infrastructure_spark.operators.frontier import (
     task_finished,
 )
 from crawling_infrastructure_spark.operators.metrics import epoch_metrics
+from crawling_infrastructure_spark.operators.proxy import proxy_feedback
 from crawling_infrastructure_spark.plans.adaptive import adaptive_epoch_budget
 from crawling_infrastructure_spark.operators.robots import RobotsCache, filter_allowed
 from crawling_infrastructure_spark.operators.seen import (
@@ -114,6 +115,7 @@ class EpochStats:
     blocked: int = 0
     new_urls: int = 0
     bytes_fetched: int = 0
+    neardup_pairs: int = 0
     finished: bool = False
 
 
@@ -141,7 +143,12 @@ class CrawlJob:
         # J2: optional small (host, region) lookup stamped at enqueue time
         self.region_map = region_map
         # W2: optional proxy pool — per-row deterministic assignment on the
-        # fetch batch (operators/proxy.assign_proxies)
+        # fetch batch (operators/proxy.assign_proxies). The pool is LIVE
+        # state: each epoch's fetch outcomes fold back into it
+        # (proxy_feedback — blocked/check_failed marks re-rank later picks,
+        # the reference's per-request rotation loop batch-wise), and the
+        # updated pool persists to its own catalog table so kill-resume
+        # restores rotation state exactly.
         self.proxies = proxies
         # claim_snapshot=True commits the initial->running transition as its
         # own snapshot (observable intermediate state, exact kill-resume
@@ -163,6 +170,25 @@ class CrawlJob:
         )
         self.pages_t = cat.table(f"pages_{cfg.task_id}")
         self.metrics_t = cat.table(f"metrics_{cfg.task_id}")
+        self.proxy_t = cat.table(f"proxies_{cfg.task_id}") if proxies is not None else None
+        # optional content-level near-dup admission (cfg.neardup_pages):
+        # incremental LSH band store + detected-pairs log
+        self.neardup = None
+        self.neardup_pairs_t = None
+        if cfg.neardup_pages:
+            from crawling_infrastructure_spark.operators.neardup import NearDupStore
+
+            self.neardup = NearDupStore(
+                cat.bucketed_table(f"neardup_{cfg.task_id}", 16, key="band_hash"),
+                num_perm=cfg.neardup_num_perm,
+                threshold=cfg.neardup_threshold,
+            )
+            self.neardup_pairs_t = cat.table(f"neardup_pairs_{cfg.task_id}")
+        # failed-item debug artifacts (store_browser_debug) — S3-debug-blob
+        # analogue; one row per failed fetch, not per worker
+        self.debug_t = (
+            cat.table(f"debug_{cfg.task_id}") if cfg.store_browser_debug else None
+        )
         # seen rows are already keyed by bucket_id in [0, seen_buckets):
         # pmod is the identity, merges rewrite only blobs receiving hashes
         self.seen_t = cat.bucketed_table(
@@ -418,7 +444,8 @@ class CrawlJob:
         # re-joins were a per-epoch fixed cost (VERDICT r2 item 1c).
         carry = stats.claimed <= self.cfg.carry_html_max_rows
         fetcher = HermeticFetcher(
-            epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn, carry_html=carry
+            epoch=epoch, outcome_fn=self.outcome_fn, func=self.crawl_fn,
+            carry_html=carry, store_debug=self.cfg.store_browser_debug,
         )
         # DISK_ONLY: the fetch output carries the extracted text (and in
         # carry mode the html — tens of KB/row; a big batch can be 10s of
@@ -434,13 +461,22 @@ class CrawlJob:
             if stats.claimed >= self.cfg.disk_persist_min_rows
             else StorageLevel.MEMORY_AND_DISK
         )
+        # live pool state: the persisted table (previous epochs' marks
+        # folded in) once it exists, the caller's bootstrap pool before
+        pool = None
+        if self.proxies is not None:
+            pool = (
+                self.proxy_t.read(self.spark)
+                if self.proxy_t.exists()
+                else self.proxies
+            )
         results = fetch_batch(
             claimed,
             self.corpus,
             fetcher,
             shuffle=stats.claimed >= self.cfg.fetch_shuffle_min_rows,
             fingerprints=self.cfg.fingerprint_rotation,
-            proxies=self.proxies,
+            proxies=pool,
         ).persist(level)
         # 6-first: the metrics append doubles as the epoch-stats source — the
         # sums (and the claimed rows' dirty-bucket set, VERDICT r2 item 1b)
@@ -490,6 +526,50 @@ class CrawlJob:
         # free wall time if called back-to-back with the write — the stats
         # are pulled at epoch end (or just-in-time below where the bucketed
         # layout needs claim_bkts for the dirty set) while other jobs run
+
+        # failed-item debug artifacts (store_browser_debug,
+        # crawl_queue.ts:173-180 + handler.ts:178-180): the reference pushes
+        # failed ids into worker meta and debug blobs into results; here one
+        # append of the failed rows' debug structs per epoch
+        if self.debug_t is not None:
+            with prof.step("debug_append"):
+                dbg = results.filter(F.col("status") == Status.FAILED).select(
+                    F.lit(epoch).alias("epoch"),
+                    "url", "url_hash", "host", "error",
+                    F.col("browser_debug.screen_b64").alias("screen_b64"),
+                    F.col("browser_debug.document").alias("document"),
+                )
+                self.debug_t.append(
+                    dbg.coalesce(max(1, stats.claimed // 500_000)),
+                    tag=f"epoch-{epoch}",
+                )
+
+        # content-level near-dup fold (cfg.neardup_pages): this epoch's
+        # completed pages against the incremental LSH band store. Runs
+        # BEFORE the pages append so the history text source is the
+        # pre-epoch pages snapshot (exactly the docs already in the store).
+        # The pair count rides an Observation on the pairs-log append — no
+        # second pass over the verification joins.
+        if self.neardup is not None and stats.claimed:
+            with prof.step("neardup_fold"):
+                new_docs = results.filter(
+                    F.col("status") == Status.COMPLETED
+                ).select(F.col("url_hash").alias("doc_id"), "text")
+                history = (
+                    self.pages_t.read(self.spark).select(
+                        url_hash_col(F.col("url")).alias("doc_id"), "text"
+                    )
+                    if self.pages_t.exists()
+                    else None
+                )
+                pairs = self.neardup.fold(new_docs, history, tag=f"epoch-{epoch}")
+                nobs = Observation(f"epoch-{epoch}-neardup")
+                self.neardup_pairs_t.append(
+                    pairs.observe(nobs, F.count(F.lit(1)).alias("n")).coalesce(1),
+                    tag=f"epoch-{epoch}",
+                )
+                stats.neardup_pairs = int(nobs.get["n"] or 0)
+                self.neardup.release()
 
         # 3. pages append — columnar write replaces N S3 puts (S6/S7).
         if carry:
@@ -652,6 +732,24 @@ class CrawlJob:
         if self.cfg.dedup and self.cfg.bloom_prefilter and stats.new_urls:
             with prof.step("seen_fold"):
                 self._fold_into_seen(new_rows.select("url_hash"), tag=f"epoch-{epoch}")
+
+        # proxy rotation feedback (W2 loop): fold this epoch's blocked /
+        # check-failed outcomes into the pool and persist, so next epoch's
+        # assign_proxies re-ranks — a blocked URL retries through a
+        # different proxy (handler.ts:171-176 + proxy.ts:53-122). Pool-sized
+        # work: two <=|pool|-row jobs + a single-file write. The reference's
+        # Date.now() is monotone; the wall-clock-free stand-in is
+        # max(last_used)+1 — every marked proxy sinks behind every untouched
+        # one in the LRU key, and replays agree.
+        if pool is not None:
+            with prof.step("proxy_feedback"):
+                mx = pool.agg(F.max("last_used").alias("m")).collect()[0].m
+                updated = proxy_feedback(
+                    light.select("url_hash", "status", "retries_delta"),
+                    pool,
+                    now_ts=int(mx or 0) + 1,
+                )
+                self.proxy_t.write_full(updated.coalesce(1), tag=f"epoch-{epoch}")
 
         frontier.unpersist()
         claimed.unpersist()

@@ -572,6 +572,66 @@ def q_proxy_pick(spark, sf_dir):
     )
 
 
+def q_proxy_rotation(spark, sf_dir):
+    """W2 rotation feedback loop (handler.ts:171-176 + proxy.ts:53-122):
+    epoch 1 assigns the pool deterministically over the documents batch,
+    blocked/check-failed outcomes fold back into the pool (proxy_feedback's
+    aggregated updateProxy marks), and the blocked rows re-assign under the
+    updated ranking — returning, per blocked doc, the epoch-1 and epoch-2
+    proxies and whether the pick rotated. The oracle recomputes the whole
+    loop (rank -> assign -> mark -> re-rank -> re-assign) in SQL, so the
+    hash pins the mark arithmetic AND the re-ranking, not just output
+    shape. hash_col=doc_id because the oracle engine lacks xxhash64; the
+    production path hashes url_hash identically."""
+    from crawling_infrastructure_spark.operators.proxy import (
+        assign_proxies,
+        proxy_feedback,
+    )
+    from crawling_infrastructure_spark.schema import Status
+
+    pool0 = _proxy_pool(spark, sf_dir).drop("whitelisted").select(
+        "*",
+        F.lit("functional").alias("status"),
+        F.lit(0).cast("int").alias("block_counter"),
+        F.lit(0).cast("bigint").alias("last_blocked"),
+    )
+    d = _t(spark, sf_dir, "documents")
+    blocked_p = F.pmod(F.col("doc_id"), F.lit(11)) == 3
+    failed_p = F.pmod(F.col("doc_id"), F.lit(13)) == 5
+    outcomes = d.select(
+        "doc_id",
+        F.when(blocked_p | failed_p, F.lit(int(Status.FAILED)))
+        .otherwise(F.lit(int(Status.COMPLETED)))
+        .alias("status"),
+        F.when(blocked_p, F.lit(0)).otherwise(F.lit(1)).alias("retries_delta"),
+    )
+    a1 = assign_proxies(outcomes, pool0, key="doc_id", hash_col=F.col("doc_id"))
+    pool1 = proxy_feedback(
+        outcomes, pool0, now_ts=1000, key="doc_id", hash_col=F.col("doc_id")
+    )
+    blocked = outcomes.filter(blocked_p)
+    a2 = assign_proxies(blocked, pool1, key="doc_id", hash_col=F.col("doc_id"))
+    # the epoch-1 proxy's post-feedback counters ride the output so the
+    # hash pins the mark ARITHMETIC (block/fail increments), not just the
+    # re-ranking it induces
+    p1 = pool1.select(
+        F.col("proxy").alias("proxy_epoch1"),
+        F.col("block_counter").cast("int").alias("e1_block_counter"),
+        F.col("proxy_fail_counter").cast("int").alias("e1_fail_counter"),
+        F.col("last_blocked").cast("bigint").alias("e1_last_blocked"),
+    )
+    return (
+        a1.select("doc_id", F.col("proxy").alias("proxy_epoch1"))
+        .join(a2.select("doc_id", F.col("proxy").alias("proxy_epoch2")), "doc_id")
+        .withColumn("rotated", F.col("proxy_epoch1") != F.col("proxy_epoch2"))
+        .join(F.broadcast(p1), "proxy_epoch1")
+        .select(
+            "doc_id", "proxy_epoch1", "proxy_epoch2", "rotated",
+            "e1_block_counter", "e1_fail_counter", "e1_last_blocked",
+        )
+    )
+
+
 def q_lost_workers(spark, sf_dir):
     """P4 getLostWorkerCandidates (workermeta.model.ts:126-130) over a
     worker_meta view of events: status=event_id%3 (started=0), ended/avg
@@ -755,6 +815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "sessionize": q_sessionize,
     "proxy_pick": q_proxy_pick,
+    "proxy_rotation": q_proxy_rotation,
     "lost_workers": q_lost_workers,
     "politeness_gaussian": q_politeness_gaussian,
     "fingerprint_headers": q_fingerprint_headers,
@@ -1407,6 +1468,67 @@ FROM (
     ORDER BY proxy_fail_counter, last_used, obtain_counter, proxy) AS pick_rank
   FROM updated WHERE whitelisted
 ) WHERE pick_rank <= 10
+""",
+    "proxy_rotation": """
+WITH pool0 AS (
+  SELECT '10.0.' || CAST(s_suppkey % 250 AS VARCHAR) || '.'
+           || CAST(CAST(floor(s_suppkey / 250) AS BIGINT) % 250 AS VARCHAR)
+           || ':' || CAST((s_suppkey % 1000) + 8000 AS VARCHAR) AS proxy,
+         CAST(s_suppkey % 7 AS INTEGER) AS proxy_fail_counter,
+         CAST(s_suppkey % 11 AS BIGINT) AS last_used,
+         CAST(s_suppkey % 13 AS INTEGER) AS obtain_counter
+  FROM supplier
+),
+npool AS (SELECT count(*) AS n FROM pool0),
+ranked0 AS (
+  SELECT proxy, row_number() OVER (
+    ORDER BY proxy_fail_counter, last_used, obtain_counter, proxy) AS rnk
+  FROM pool0
+),
+outcomes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN 'blocked'
+              WHEN doc_id % 13 = 5 THEN 'failed'
+              ELSE 'ok' END AS outcome
+  FROM documents
+),
+a1 AS (
+  SELECT o.doc_id, o.outcome, r.proxy
+  FROM outcomes o JOIN ranked0 r
+    ON (o.doc_id % (SELECT n FROM npool)) + 1 = r.rnk
+),
+marks AS (
+  SELECT proxy,
+         count(*) FILTER (WHERE outcome = 'blocked') AS nb,
+         count(*) FILTER (WHERE outcome = 'failed')  AS nf
+  FROM a1 WHERE outcome IN ('blocked', 'failed') GROUP BY proxy
+),
+pool1 AS (
+  SELECT p.proxy,
+         p.proxy_fail_counter + COALESCE(m.nf, 0) AS proxy_fail_counter,
+         COALESCE(m.nb, 0) AS block_counter,
+         CASE WHEN COALESCE(m.nb, 0) > 0 THEN 1000 ELSE 0 END AS last_blocked,
+         CASE WHEN COALESCE(m.nb, 0) > 0 OR COALESCE(m.nf, 0) > 0
+              THEN 1000 ELSE p.last_used END AS last_used,
+         p.obtain_counter
+  FROM pool0 p LEFT JOIN marks m USING (proxy)
+),
+ranked1 AS (
+  SELECT proxy, row_number() OVER (
+    ORDER BY proxy_fail_counter, last_used, obtain_counter, proxy) AS rnk
+  FROM pool1
+)
+SELECT a1.doc_id,
+       a1.proxy AS proxy_epoch1,
+       r.proxy  AS proxy_epoch2,
+       a1.proxy <> r.proxy AS rotated,
+       CAST(p1.block_counter AS INTEGER)      AS e1_block_counter,
+       CAST(p1.proxy_fail_counter AS INTEGER) AS e1_fail_counter,
+       CAST(p1.last_blocked AS BIGINT)        AS e1_last_blocked
+FROM a1
+JOIN ranked1 r ON (a1.doc_id % (SELECT n FROM npool)) + 1 = r.rnk
+JOIN pool1 p1 ON p1.proxy = a1.proxy
+WHERE a1.outcome = 'blocked'
 """,
     "lost_workers": """
 SELECT event_id AS worker_id FROM events

@@ -95,6 +95,21 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("elapsed_ms", T.DoubleType(), False),
         T.StructField("item_key", T.StringType(), True),
         T.StructField("html", T.BinaryType(), True),
+        # worker.getDebugInfo() analogue (handler.ts:178-180): populated on
+        # FAILED rows only, and only when cfg.store_browser_debug — the
+        # screenshot+DOM the reference attaches to failed items. screen_b64
+        # is a deterministic sandbox stand-in (no browser in this
+        # container); document is the page DOM at failure when one exists.
+        T.StructField(
+            "browser_debug",
+            T.StructType(
+                [
+                    T.StructField("screen_b64", T.StringType(), True),
+                    T.StructField("document", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
     ]
 )
 
