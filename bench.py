@@ -289,6 +289,11 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     from crawling_infrastructure_spark.plans.queries import QUERIES
 
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_RETRIES", "1"))
+    # best-of-N (default 2): host starvation can sit just UNDER every
+    # detector threshold (observed: own_cores 7.7/32 reading "clean" while
+    # walls run 1.6x) — a second unconditional attempt bounds that error
+    # by min(), which no absolute threshold can
+    best_of = max(int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_BEST_OF", "2")), 1)
     loud = float(os.environ.get("SPARK_GRAFT_BENCH_QUERY_MAX_LOAD", "8"))
     max_neighbor = float(
         os.environ.get("SPARK_GRAFT_BENCH_MAX_NEIGHBOR_CORES", "2.0")
@@ -298,7 +303,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     dirty: list[str] = []
     for name in HEADLINE_QUERIES:
         recs: list[dict] = []
-        for attempt in range(1 + max(retries, 0)):
+        for attempt in range(best_of + max(retries, 0)):
             ph = PhaseInterference()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
@@ -309,14 +314,18 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
             # a retried training_corpus otherwise piles localCheckpoint RDD
             # blocks for the session lifetime (ADVICE r4)
             release_checkpoints()
-            # neighbor-cores is the precise detector; 1-min loadavg lags a
-            # burst by minutes (observed: 4x query walls at loadavg < 8)
+            # neighbor-cores is the precise tenant detector; 1-min loadavg
+            # lags a burst by minutes (observed: 4x query walls at
+            # loadavg < 8); host_sys_share catches kernel storms, which
+            # bill SYSTEM time to our own processes and leave the other
+            # two signals reading clean (BENCH/BASELINE.md note 2)
             rec["clean"] = (
                 rec.get("neighbor_cores", 0.0) <= max_neighbor
+                and rec.get("host_sys_share", 0.0) <= 0.24
                 and _loadavg1() < loud
             )
             recs.append(rec)
-            if rec["clean"]:
+            if sum(r["clean"] for r in recs) >= best_of:
                 break
         clean = [r for r in recs if r["clean"]]
         best = min(clean or recs, key=lambda r: r["wall"])
@@ -506,14 +515,30 @@ def main() -> None:
                 and c.get("own_cores", 1e9) >= min_own
             )
 
+        # best-of-N (default 2 clean attempts): detector thresholds bound
+        # gross interference but starvation just above min_own still costs
+        # 30-40% wall (observed: own_cores 7.7/32 "clean" at 565 pages/s vs
+        # 10.9 at 785 — throughput tracks delivered cores ~1:1); a second
+        # clean attempt lets max() shed the stingier window
+        crawl_best_of = max(
+            int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_BEST_OF", "2")), 1
+        )
         attempts = []
-        for attempt in range(1 + max(crawl_retries, 0)):
+        for attempt in range(crawl_best_of + max(crawl_retries, 0)):
             ph = PhaseInterference()
             c = bench_crawl(spark, crawl_pages, max(crawl_pages // 500, 10))
             c.update(ph.finish())
             c["attempt"] = attempt
+            # throughput per DELIVERED core — invariant under host core
+            # starvation (measured 72.0-73.3 across rounds while wall
+            # throughput swung 785 -> 565), so regressions show up here
+            # even when no clean window exists
+            if c.get("own_cores"):
+                c["pages_per_own_core"] = round(
+                    c["pages_per_sec"] / c["own_cores"], 1
+                )
             attempts.append(c)
-            if is_clean(c):
+            if sum(1 for a in attempts if is_clean(a)) >= crawl_best_of:
                 break
             # bounded re-quiet before the retry (waits NOT added to total)
             for _ in range(10):

@@ -160,7 +160,20 @@ def run_once(cpus: int, max_attempts: int = 4) -> dict:
             res.get("cpu_proc_sec") or 1.0, 1.0
         )
         res["neighbor_share"] = round(neighbor_share, 2)
-        contaminated = res["load_mean_excess"] > 1.5 or neighbor_share > 0.5
+        # third signal — kernel-time storms (BENCH/BASELINE.md note 2) bill
+        # SYSTEM time to OUR processes, so loadavg AND neighbor-CPU both
+        # read clean while the trial burns 3-10x CPU at 40-90% sys. Clean
+        # band measured on this job: own-sys share 0.05-0.08 at local[1],
+        # ~0.16-0.19 at full bore; storms read 0.41-0.76 (round-5 trials).
+        sys_share = (res.get("cpu_by_kind") or {}).get("sys", 0.0) / max(
+            res.get("cpu_proc_sec") or 1.0, 1.0
+        )
+        res["own_sys_share"] = round(sys_share, 2)
+        contaminated = (
+            res["load_mean_excess"] > 1.5
+            or neighbor_share > 0.5
+            or sys_share > 0.25
+        )
         print(
             f"trial cpus={cpus} wall={res['wall_sec']} attempt={attempt} "
             f"excess={res['load_mean_excess']} max={res['load_max']}"
@@ -241,6 +254,16 @@ def main() -> None:
             f"inverted scaling: lo {lo['pages_per_sec']} > hi {hi['pages_per_sec']} pages/s "
             "— host contention, not engine behavior; rerun on a quieter window"
         )
+    # identical work cannot honestly cost >2x process CPU at 4x threads
+    # (round-4 clean ratio: 1.31; kernel storms measured 3.6x+): an
+    # implausible ratio means a storm hit EVERY attempt at one level and
+    # best-of-N had nothing clean to pick
+    c_lo, c_hi = lo.get("cpu_proc_sec"), hi.get("cpu_proc_sec")
+    if c_lo and c_hi and c_hi / c_lo > 2.0:
+        problems.append(
+            f"implausible CPU ratio {c_hi / c_lo:.2f} (hi {c_hi}s vs lo {c_lo}s) "
+            "— kernel-storm contamination on the hi level; rerun"
+        )
     verdict_cpu = adjudicate_cpu(lo, hi)
     if problems:
         for p in problems:
@@ -258,6 +281,12 @@ def main() -> None:
             f"{'yes' if t['contaminated'] else 'no'} |"
             for t in all_trials
         )
+        marker = "<!-- manual-sections: kept verbatim by tools/bench_scaling.py -->"
+        preserved = ""
+        if os.path.exists("BENCH/BASELINE.md"):
+            prior = open("BENCH/BASELINE.md").read()
+            if marker in prior:
+                preserved = "\n" + prior[prior.index(marker):]
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# BENCH/BASELINE — scaling efficiency: UNMEASURED (trials rejected)\n\n"
@@ -269,7 +298,7 @@ def main() -> None:
                 "| level | wall (s) | cpu_proc (s) | cpu_neighbor (s) | rss peak (GB) "
                 "| load_before | load_excess | contaminated |\n"
                 "|---|---|---|---|---|---|---|---|\n"
-                + trial_rows + "\n"
+                + trial_rows + "\n" + preserved
             )
         sys.exit(1)
     eff_pages = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4
@@ -302,7 +331,7 @@ epoch.
 
 {verdict_cpu}
 
-Adjudication notes (round 4, full per-trial data in BENCH/scaling_trials.json):
+Adjudication notes (full per-trial data in BENCH/scaling_trials.json):
 
 1. **The round-3 "inverted scaling" is resolved: it was host contention,
    not the engine.** Clean pinned trials scale normally at every attempt;
@@ -332,8 +361,19 @@ per-worker seed assumption is 0.5 items/s; this engine sustains
 full extraction, dedup, and snapshot persistence.
 """
     os.makedirs("BENCH", exist_ok=True)
+    # hand-written evidence sections (secondary spans, parity pairs,
+    # provenance) live below the marker and survive regeneration — a
+    # previous version of this tool clobbered them (round 5)
+    marker = "<!-- manual-sections: kept verbatim by tools/bench_scaling.py -->"
+    preserved = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        prior = open("BENCH/BASELINE.md").read()
+        if marker in prior:
+            preserved = prior[prior.index(marker):]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(report)
+        if preserved:
+            f.write("\n" + preserved)
     with open("BENCH/scaling_trials.json", "w") as f:
         json.dump({"trials": all_trials, "eff_pages": round(eff_pages, 3),
                    "eff_urls": round(eff_urls, 3)}, f, indent=1)
