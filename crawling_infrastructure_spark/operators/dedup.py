@@ -370,11 +370,43 @@ def embedding_cosine_neardup(
 # ---------------------------------------------------------------------------
 
 
+def _components_driver(spark, rows) -> DataFrame:
+    """Union-find (path-halving) over an edge list already in driver memory;
+    component label = min id per set. O(E alpha(E)) — microseconds at the
+    sizes the limit-probe admits."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for s, d in rows:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # attach by id order so roots trend toward minima (cosmetic —
+            # the final min pass below is what defines the label)
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    label: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        label[r] = min(label.get(r, r), v)
+    out = [(v, label[find(v)]) for v in parent]
+    return spark.createDataFrame(out, schema="id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list: the step that turns
     near-duplicate PAIRS (MinHash-LSH / SimHash / cosine output) into
@@ -399,6 +431,15 @@ def connected_components(
     At 100 TB: near-dup graphs are overwhelmingly tiny stars (clusters of
     2-10 docs), so the edge set SHRINKS toward one edge per non-canonical
     doc within ~2 rounds; the log^2 bound only bites on adversarial chains.
+
+    Size-gated driver fast path: each distributed round costs a fixed
+    ~dozen scheduler round-trips regardless of data (measured 10.8 s for a
+    25-edge graph — pure orchestration), so graphs at or under
+    ``driver_max_edges`` (default 10^5 ~= a few MB of longs) are resolved
+    with ONE job: ``limit(k+1).collect()`` — if the limit returns <= k rows
+    it returned ALL rows — then union-find on the driver. Bigger graphs
+    (the 10^9-vector regime) take the star loop unchanged; pass
+    ``driver_max_edges=0`` to force it.
     """
     e = (
         edges.select(
@@ -408,6 +449,10 @@ def connected_components(
         .select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
         .dropDuplicates()
     )
+    if driver_max_edges > 0:
+        probe = e.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            return _components_driver(edges.sparkSession, probe)
 
     def star(cur: DataFrame, large: bool) -> DataFrame:
         sym = cur.union(cur.select(F.col("d").alias("s"), F.col("s").alias("d")))

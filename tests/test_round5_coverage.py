@@ -257,20 +257,31 @@ def test_connected_components_chain_star_and_isolated(spark):
          (20, 21), (21, 20), (20, 21), (7, 7)],
         schema="src long, dst long",
     )
-    got = {r.id: r.component for r in connected_components(edges).collect()}
-    assert {k: got[k] for k in range(1, 7)} == {i: 1 for i in range(1, 7)}
-    assert {got[10], got[11], got[12], got[13]} == {10}
-    assert got[20] == got[21] == 20
-    assert 7 not in got  # self-loop only -> no edge -> not a graph vertex
+    # both execution paths must agree exactly: the driver union-find fast
+    # path (default at this size) and the distributed star loop (forced
+    # via driver_max_edges=0 — the 10^9-edge regime's path)
+    for dme in (100_000, 0):
+        got = {r.id: r.component
+               for r in connected_components(edges, driver_max_edges=dme).collect()}
+        assert {k: got[k] for k in range(1, 7)} == {i: 1 for i in range(1, 7)}
+        assert {got[10], got[11], got[12], got[13]} == {10}
+        assert got[20] == got[21] == 20
+        assert 7 not in got  # self-loop only -> no edge -> not a graph vertex
 
-    # long chain converges well under the O(log^2) round bound
+    # long chain converges well under the O(log^2) round bound (distributed
+    # path — the driver path has no round bound to exercise)
     n = 64
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], schema="src long, dst long"
     )
     comp = {r.id: r.component for r in
-            connected_components(chain, max_rounds=12).collect()}
+            connected_components(chain, max_rounds=12, driver_max_edges=0).collect()}
     assert set(comp.values()) == {0} and len(comp) == n + 1
+    # probe-boundary: a graph exactly ONE edge over the gate takes the
+    # distributed path and still answers identically
+    comp2 = {r.id: r.component for r in
+             connected_components(chain, driver_max_edges=n - 1).collect()}
+    assert comp2 == comp
 
 
 def test_dedup_clusters_labels_singletons_and_sizes(spark):
