@@ -120,6 +120,64 @@ def build_training_corpus(
     )
 
 
+def sample_to_token_budget(
+    scored: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    lang_col: str = "guessed_lang",
+    bucket_bits: int = 13,
+) -> DataFrame:
+    """Deterministic per-language token-budget downsampling — the mixture
+    step after ``corpus_language_budget`` says "we have 9T en tokens but the
+    mixture wants 2T": keep, per language, the hash-ordered PREFIX of
+    documents whose cumulative ``token_col`` stays within ``budgets[lang]``.
+    Languages absent from ``budgets`` are dropped. Hash order (md5-prefix of
+    the doc id — the engine's oracle-computable hash primitive) is a
+    deterministic shuffle: replays, retries, and the DuckDB oracle pick the
+    identical document set, and the sample is unbiased w.r.t. any corpus
+    ordering.
+
+    Scale shape: the naive form is one window per language — a single
+    partition holding ALL of en at the 10^10-doc point, the canonical skew
+    killer. Instead, two-level prefix selection: bucket docs by the hash's
+    TOP bits (bucket order == hash order), aggregate per-bucket token sums
+    (<= langs x 2^bucket_bits rows — driver-scale), window over THAT to get
+    each bucket's cumulative-before, broadcast back, and run the intra-
+    bucket cumulative window per (lang, bucket) — max 2^-bucket_bits of a
+    language per partition. Buckets entirely past the budget are pruned
+    before the join, so the big side is scanned once and filtered early.
+    """
+    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
+
+    spark = scored.sparkSession
+    b = spark.createDataFrame(
+        [(l, int(t)) for l, t in sorted(budgets.items())],
+        schema=f"{lang_col} string, _budget long",
+    )
+    per = scored.withColumn(
+        "_h", md5_prefix_hash_col(F.col("doc_id").cast("string"), modulus=None)
+    ).withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
+    agg = per.groupBy(lang_col, "_b").agg(F.sum(token_col).alias("_btoks"))
+    wb = (
+        Window.partitionBy(lang_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = (
+        agg.withColumn("_before", F.coalesce(F.sum("_btoks").over(wb), F.lit(0)))
+        .join(F.broadcast(b), lang_col)
+        .filter(F.col("_before") < F.col("_budget"))
+        .select(lang_col, "_b", "_before", "_budget")
+    )
+    wd = Window.partitionBy(lang_col, "_b").orderBy("_h", "doc_id")
+    return (
+        per.join(F.broadcast(cand), [lang_col, "_b"])
+        .withColumn("_cum", F.sum(token_col).over(wd) + F.col("_before"))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_h", "_b", "_before", "_budget", "_cum")
+    )
+
+
 def corpus_language_budget(docs: DataFrame, kept: DataFrame) -> DataFrame:
     """Per-language training-budget rollup over the KEPT corpus: document
     count, total BPE-ish tokens, mean quality. The numbers a data-mixture

@@ -780,6 +780,38 @@ def q_corpus_language_budget(spark, sf_dir):
     return corpus_language_budget(docs, kept)
 
 
+#: per-language BPE-token budgets for the sampler query — sized so the cut
+#: BITES at sf0.01 (en holds ~23k tokens, fr ~4.1k: both get partial
+#: prefixes) and includes a language the corpus lacks (absent -> 0 rows)
+SAMPLE_BUDGETS = {"en": 9000, "fr": 2500, "de": 1000}
+
+
+def q_corpus_budget_sample(spark, sf_dir):
+    """Deterministic per-language token-budget downsampling (the mixture
+    step): keep the md5-hash-ordered prefix of docs whose cumulative
+    BPE-ish tokens fit each language's budget. The oracle recomputes the
+    identical prefix with one SQL window over the same md5-prefix hash, so
+    the hash compare pins the ORDER and the cut, not just row shape. The
+    engine side runs the skew-aware two-level form (bucket prefix sums +
+    intra-bucket windows); agreement with the oracle's single global window
+    is exactly the equivalence that matters at scale."""
+    from crawling_infrastructure_spark.operators.corpus import (
+        sample_to_token_budget,
+    )
+    from crawling_infrastructure_spark.operators.textstats import (
+        lang_id,
+        token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lang_id(docs).select("doc_id", "guessed_lang").join(
+        token_counts(docs).select("doc_id", "n_bpe_tokens"), "doc_id"
+    )
+    return sample_to_token_budget(
+        scored, SAMPLE_BUDGETS, token_col="n_bpe_tokens"
+    ).select("doc_id", "guessed_lang", "n_bpe_tokens")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -823,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "training_corpus": q_training_corpus,
     "corpus_language_budget": q_corpus_language_budget,
+    "corpus_budget_sample": q_corpus_budget_sample,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
 }
 
@@ -1103,6 +1136,38 @@ SELECT guessed_lang,
        round(avg(quality), 4) AS mean_quality
 FROM kept JOIN tok USING (doc_id)
 GROUP BY guessed_lang
+"""
+
+
+def _corpus_sample_sql() -> str:
+    """Oracle for the per-language token-budget sampler: ONE global window
+    per language (fine at oracle scale) over the same md5-prefix doc-id
+    hash the engine orders by — cumulative tokens <= budget keeps the doc.
+    The engine's two-level bucketized form must agree exactly."""
+    budget_rows = ", ".join(
+        f"('{l}', {t})" for l, t in sorted(SAMPLE_BUDGETS.items())
+    )
+    return f"""
+WITH lid AS ({_lang_id_sql()}),
+tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS n_bpe_tokens
+  FROM documents
+),
+b(guessed_lang, budget) AS (VALUES {budget_rows}),
+j AS (
+  SELECT l.doc_id, l.guessed_lang, t.n_bpe_tokens,
+         ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lid l JOIN tok t USING (doc_id)
+),
+c AS (
+  SELECT j.doc_id, j.guessed_lang, j.n_bpe_tokens, b.budget,
+         sum(n_bpe_tokens) OVER (PARTITION BY j.guessed_lang
+                                 ORDER BY h, doc_id) AS cum
+  FROM j JOIN b USING (guessed_lang)
+)
+SELECT doc_id, guessed_lang, n_bpe_tokens FROM c WHERE cum <= budget
 """
 
 
@@ -1584,5 +1649,6 @@ FROM documents
     "dedup_clusters": _dedup_clusters_sql(),
     "training_corpus": _training_corpus_sql(),
     "corpus_language_budget": _corpus_budget_sql(),
+    "corpus_budget_sample": _corpus_sample_sql(),
     "ann_cosine_topk_ivf": _ann_ivf_sql(nprobe=2),
 }

@@ -498,3 +498,56 @@ def test_ivf_plan_is_o1_in_cell_count(spark):
     assert len(plan) < 200_000, f"plan blew up: {len(plan)} chars"
     rows = df.collect()
     assert len(rows) > 0 and all(r.rank <= 3 for r in rows)
+
+
+# ------------------------------------------------ token-budget sampler
+
+
+def test_sample_to_token_budget_prefix_semantics(spark):
+    """The sampler keeps, per language, exactly the hash-ordered prefix
+    whose cumulative tokens fit the budget — checked against a pandas
+    recompute of the same md5-prefix order, at TWO bucket widths (the
+    default, and bucket_bits=2 so buckets genuinely split languages and
+    the cross-bucket prefix arithmetic is exercised)."""
+    import hashlib
+
+    from pyspark.sql import Row
+    from crawling_infrastructure_spark.operators.corpus import (
+        sample_to_token_budget,
+    )
+
+    rows = [
+        Row(doc_id=i, guessed_lang=("en" if i % 3 else "fr"), n_tokens=10 + i % 7)
+        for i in range(200)
+    ]
+    scored = spark.createDataFrame(rows)
+    budgets = {"en": 300, "fr": 150, "de": 50}
+
+    def h(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    expected = {}
+    for lang in ("en", "fr"):
+        cum = 0
+        for r in sorted((r for r in rows if r.guessed_lang == lang),
+                        key=lambda r: (h(r.doc_id), r.doc_id)):
+            cum += r.n_tokens
+            if cum > budgets[lang]:
+                break
+            expected[r.doc_id] = lang
+
+    for bits in (13, 2):
+        got = {r.doc_id: r.guessed_lang
+               for r in sample_to_token_budget(scored, budgets,
+                                               bucket_bits=bits).collect()}
+        assert got == expected, f"bucket_bits={bits}"
+    # budgets are respected and maximal (the next hash-ordered doc per
+    # language would overflow) — implied by the exact-set check above, but
+    # assert the budget bound explicitly for the operator contract
+    by_lang = {}
+    for d, lang in expected.items():
+        by_lang.setdefault(lang, 0)
+        by_lang[lang] += next(r.n_tokens for r in rows if r.doc_id == d)
+    assert all(by_lang[lang] <= budgets[lang] for lang in by_lang)
+    # 'de' absent from the corpus -> contributes no rows
+    assert not any(l == "de" for l in expected.values())
