@@ -258,6 +258,8 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "embedding_neardup",
     "ann_cosine_topk",
+    # the trained-quantizer scale path (broadcast codebook + nprobe)
+    "ann_cosine_topk_ivf",
     "lang_id",
     "quality_score",
     "token_counts",
@@ -269,6 +271,8 @@ HEADLINE_QUERIES = [
     # MinHash + connected-components keep-one); dedup_clusters is a strict
     # subset of this pipeline, so only the flagship is benched
     "training_corpus",
+    # the mixture step: per-language token-budget prefix sampling
+    "corpus_budget_sample",
 ]
 
 

@@ -204,3 +204,75 @@ def streaming_dedup(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def run_neardup_admission(
+    spark: SparkSession,
+    docs_dir: str,
+    store,
+    texts_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming content-level near-dup admission: every parquet file of
+    (doc_id, text) dropped into ``docs_dir`` is a micro-batch folded into a
+    persistent ``operators.neardup.NearDupStore`` — the streaming twin of
+    the epoch loop's ``cfg.neardup_pages`` path, the way ``streaming_dedup``
+    twins the URL-seen set.
+
+    Per micro-batch (exactly the incremental operator's contract):
+    detected pairs — new-vs-history AND within-batch — append to
+    ``pairs_dir``; the batch's texts append to ``texts_dir`` (the history
+    the verification stage semi-joins against; only candidate-referenced
+    rows are ever read); the batch's LSH band rows are admitted into the
+    store by ``fold`` itself. The union of all micro-batch pair outputs
+    equals the batch operator on the concatenated corpus
+    (tests/test_streaming_and_scheduler.py pins it through this surface;
+    tests/test_neardup_incremental.py pins the operator underneath).
+
+    ``availableNow`` + ``maxFilesPerTrigger`` in tests (hermetic, multiple
+    genuine micro-batches); unbounded with a processing-time trigger in
+    production. Checkpointed: a replayed batch re-derives the same pairs
+    (deterministic sketch) and re-appends — downstream consumers dedup on
+    (doc_a, doc_b), which fold's normalized orientation makes stable."""
+    import os
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(F.col("doc_id").cast("long"), "text").cache()
+        try:
+            if not batch.count():
+                return
+            hist = None
+            if os.path.isdir(texts_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(texts_dir)
+            ):
+                hist = spark.read.parquet(texts_dir)
+            pairs = store.fold(
+                batch, history_texts=hist, tag=f"stream-batch-{batch_id}"
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+            batch.write.mode("append").parquet(texts_dir)
+        finally:
+            store.release()
+            batch.unpersist()
+
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(docs_dir)
+        .writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -93,3 +93,49 @@ def test_epoch_loop_flag(spark, tmp_path):
     assert s1.neardup_pairs + s2.neardup_pairs == len(expect)
     corpus.unpersist()
     shutil.rmtree(root, ignore_errors=True)
+
+def test_streaming_neardup_admission_equals_batch(spark, tmp_path):
+    """The Structured Streaming surface (stream.run_neardup_admission):
+    parquet drops -> micro-batch folds -> pairs log. Union over genuine
+    multiple micro-batches (maxFilesPerTrigger=1) == batch operator."""
+    import os
+
+    from crawling_infrastructure_spark.streaming.stream import (
+        run_neardup_admission,
+    )
+
+    docs = _docs(spark).cache()
+    docs.count()
+    batch_pairs = _pairs(minhash_lsh_pairs(docs, num_perm=32, threshold=0.5))
+    assert batch_pairs
+
+    docs_dir = str(tmp_path / "drops")
+    os.makedirs(docs_dir)
+    # three drop files = three micro-batches
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(docs_dir)
+
+    cat = Catalog(str(tmp_path / "cat_snd"))
+    store = NearDupStore(
+        cat.bucketed_table("neardup_t", 8, key="band_hash"),
+        num_perm=32,
+        threshold=0.5,
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    run_neardup_admission(
+        spark,
+        docs_dir,
+        store,
+        texts_dir=str(tmp_path / "texts"),
+        pairs_dir=pairs_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = _pairs(spark.read.parquet(pairs_dir))
+    assert got == batch_pairs
+    # every doc admitted into the band store exactly once
+    n = store.table.read(spark).select("doc_id").distinct().count()
+    assert n == docs.count()
+    docs.unpersist()
