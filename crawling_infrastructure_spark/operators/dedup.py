@@ -250,7 +250,7 @@ def verify_jaccard_pairs(
 
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 32, bands: int | None = None, n: int = 3,
-    threshold: float = 0.8, seed: int = 42,
+    threshold: float = 0.8, seed: int = 42, materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + banded LSH: band-bucket
     equi-joins propose candidate pairs, and exact Jaccard is computed for
@@ -260,9 +260,26 @@ def minhash_lsh_pairs(
     at the threshold is >= 1 - 1e-4 by tune_bands construction (bands
     default to the threshold-tuned layout). Shingles hash via md5
     (deterministic across workers — Python's hash() is salted per process
-    and must never reach a shuffle key)."""
+    and must never reach a shuffle key).
+
+    ``materialize`` (default on): without it, Catalyst evaluates the
+    sketch subtree per REFERENCE — twice for the self-join sides, and the
+    shingle pass twice more inside verification — five passes over the
+    text for one logical pass (exchange reuse can't save it: each side
+    projects a different id alias, so the exchanges aren't canonically
+    equal). Materializing the band rows (one row per doc per band — far
+    smaller than the text) and the candidate pairs (O(near-dup pairs))
+    makes every expensive thing run exactly once, and lets verification
+    semi-join-prune the text side to candidate-referenced docs. At the
+    10^9-doc point that is 1 sketch pass + 1 corpus scan instead of 5
+    text passes. Pass ``materialize=False`` for a pure single-plan form
+    (plan inspection, streaming contexts). Checkpoints are registered for
+    ``release_checkpoints()``."""
     docs = docs.select(F.col("doc_id").cast("long"), "text")
     band_rows = minhash_band_rows(docs, num_perm, bands, n, threshold, seed)
+    if materialize:
+        band_rows = band_rows.localCheckpoint(eager=True)
+        _live_checkpoints.append(band_rows)
     l = band_rows.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     r = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -271,7 +288,17 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    return verify_jaccard_pairs(candidates, docs, n, threshold)
+    texts = docs
+    if materialize:
+        candidates = candidates.localCheckpoint(eager=True)
+        _live_checkpoints.append(candidates)
+        ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        texts = docs.join(ids, "doc_id", "left_semi")
+    return verify_jaccard_pairs(candidates, texts, n, threshold)
 
 
 # ---------------------------------------------------------------------------
