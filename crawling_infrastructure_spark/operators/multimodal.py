@@ -113,3 +113,72 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic decode stand-in: tile the payload bytes into a
+    (height, width) uint8 grid. Same array contract a real decoder
+    (PIL.Image -> np.asarray) satisfies; replays byte-identically."""
+    if not payload:
+        return np.zeros((height, width), dtype=np.uint8)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-(width * height) // len(arr))
+    return np.tile(arr, reps)[: width * height].reshape(height, width)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """(id, binary payload) -> (id, width, height, pixels) resized via
+    nearest-neighbor over the decoded array — the resize leg of the
+    decode/feature/resize/frame-sample quartet. mapInPandas (not a scalar
+    UDF): resize REPLACES the payload column rather than extending the row,
+    so the batch both consumes and emits binary columns and the output
+    schema is declared once (RESIZE_SCHEMA). The decode is the stubbed
+    sandbox step (fake_decode_image; real-codec path raises, same contract
+    as decode_media); the nearest-neighbor index arithmetic, Arrow batch
+    mechanics, and schema are the real thing a PIL-backed decoder slots
+    under unchanged."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, pix = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if use_real_decoder:
+                    raise NotImplementedError(
+                        "real image resize requires PIL; sandbox uses the "
+                        "deterministic fake decoder"
+                    )
+                raw = bytes(payload) if payload is not None else b""
+                img = fake_decode_image(raw, max(width * 2, 1), max(height * 2, 1))
+                ys = (np.arange(height) * img.shape[0] // height).astype(np.int64)
+                xs = (np.arange(width) * img.shape[1] // width).astype(np.int64)
+                ids.append(mid)
+                pix.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "width": np.full(len(ids), width, dtype=np.int32),
+                    "height": np.full(len(ids), height, dtype=np.int32),
+                    "pixels": pix,
+                }
+            )
+
+    return media.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(payload_col)
+    ).mapInPandas(run, RESIZE_SCHEMA)

@@ -142,3 +142,33 @@ def test_frame_sample_plan(spark):
 def test_sniff_format_unit():
     assert sniff_format(b"") == "empty"
     assert sniff_format(b"\xff\xd8\xff") == "jpeg"
+
+
+def test_resize_media_plumbing(spark):
+    """Resize leg: mapInPandas consumes AND emits binary columns with a
+    declared schema; pixel buffers are exactly width*height, deterministic
+    across runs, and nearest-neighbor indices stay in-bounds for payloads
+    smaller and larger than the target."""
+    from crawling_infrastructure_spark.operators.multimodal import (
+        fake_decode_image,
+        resize_media,
+    )
+
+    rows = [
+        (1, b"\x01\x02\x03"),                 # tiny payload, tiled up
+        (2, bytes(range(256)) * 40),          # larger than target
+        (3, None),                            # null payload -> zeros
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, payload binary")
+    out = {r.media_id: r for r in resize_media(df, 16, 8).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.width, r.height) == (16, 8)
+        assert len(bytes(r.pixels)) == 16 * 8
+    assert bytes(out[3].pixels) == bytes(16 * 8)
+    # deterministic replay
+    out2 = {r.media_id: bytes(r.pixels) for r in resize_media(df, 16, 8).collect()}
+    assert out2 == {k: bytes(v.pixels) for k, v in out.items()}
+    # the fake decoder honors the (height, width) contract a real one has
+    img = fake_decode_image(b"\x09", 5, 4)
+    assert img.shape == (4, 5) and img.dtype.name == "uint8"
