@@ -77,6 +77,10 @@ class TaskConfig:
     # Bloom filter sizing for the seen-set scale path
     seen_buckets: int = 32
     bloom_fpp: float = 0.001
+    # tier-1 seen-set filter: 'bloom' (rebuild-on-touch) or 'cuckoo'
+    # (incremental O(batch) folds + in-place deletion for retire/recrawl —
+    # north_rule names both; see operators/seen.py)
+    seen_prefilter: str = "bloom"
     # frontier table bucket(N, host_hash) partition count. Epoch write-back
     # rewrites only dirty buckets (catalog.BucketedTable.merge_buckets), so
     # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets.
@@ -135,6 +139,8 @@ class TaskConfig:
             MAX_SPEED_CRAWLING, max(MIN_SPEED_CRAWLING, self.max_items_per_second)
         )
         self.priority = min(10, max(1, self.priority))
+        if self.seen_prefilter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_prefilter must be 'bloom' or 'cuckoo'")
 
     @property
     def epoch_budget(self) -> int:

@@ -30,6 +30,15 @@ Bloom sizing (round-3 stretch item): every rewrite re-sizes the bucket's
 bloom from the MERGED exact count instead of a fixed 1<<16 floor, so a
 bucket that grew to 10^6 keys gets a right-sized filter on its next touch
 — the sizing input is persisted state, not a guess.
+
+Tier-1 filter choice (round 5 — the north_rule names "bloom/cuckoo"):
+``kind='cuckoo'`` (functions/cuckoo.py) swaps the bloom for a cuckoo
+filter with two scale wins: per-epoch folds insert only the FRESH keys
+into the deserialized table (O(batch) vs the bloom's O(state) rebuild per
+dirty bucket), and ``retire_seen`` deletes fingerprints in place for the
+recrawl/TTL path. Blobs are self-describing (magic-dispatched), so either
+kind rides the same ``bloom`` column and kill-resume works across a
+config change. Exactness never depends on the filter either way.
 """
 
 from __future__ import annotations
@@ -41,6 +50,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawling_infrastructure_spark.functions.bloom import Bloom
+from crawling_infrastructure_spark.functions.cuckoo import (
+    Cuckoo,
+    deserialize_prefilter,
+)
 from crawling_infrastructure_spark.schema import SEEN_SCHEMA
 
 
@@ -69,7 +82,16 @@ def _member(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return present
 
 
-def _bloom_for(arr: np.ndarray, fpp: float) -> bytes:
+def _prefilter_for(arr: np.ndarray, fpp: float, kind: str = "bloom") -> bytes:
+    """Build a tier-1 filter blob from scratch over the full key array.
+    kind='bloom' (rebuild-on-touch semantics) or 'cuckoo' (fpp is fixed by
+    the fingerprint width, ~1.2e-4; the parameter is accepted for a uniform
+    signature). Both land in the same self-describing blob column."""
+    if kind == "cuckoo":
+        c = Cuckoo.sized(max(1 << 16, len(arr)))
+        if len(arr):
+            c.add(arr)
+        return c.serialize()
     b = Bloom.sized(max(1 << 16, len(arr)), fpp)
     if len(arr):
         b.add(arr)
@@ -77,21 +99,23 @@ def _bloom_for(arr: np.ndarray, fpp: float) -> bytes:
 
 
 def build_seen(
-    hashes: DataFrame, n_buckets: int, fpp: float, expected_per_bucket: int = 1 << 16
+    hashes: DataFrame, n_buckets: int, fpp: float,
+    expected_per_bucket: int = 1 << 16, kind: str = "bloom",
 ) -> DataFrame:
-    """hashes['url_hash'] -> seen table (bloom blob + packed sorted hash
-    array per bucket). Buckets build independently in parallel
+    """hashes['url_hash'] -> seen table (tier-1 filter blob + packed sorted
+    hash array per bucket). ``kind`` picks the filter ('bloom'|'cuckoo' —
+    north_rule names both; blobs are self-describing so a table can even
+    mix kinds across rewrites). Buckets build independently in parallel
     (applyInPandas per bucket)."""
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         packed, n = _pack(pdf["url_hash"].to_numpy())
-        b = Bloom.sized(max(expected_per_bucket, n), fpp)
-        b.add(_unpack(packed))
+        blob = _prefilter_for(_unpack(packed), fpp, kind)
         return pd.DataFrame(
             {
                 "bucket_id": [int(pdf["bucket_id"].iloc[0])],
                 "n_items": [n],
-                "bloom": [b.serialize()],
+                "bloom": [blob],
                 "hashes": [packed],
             }
         )
@@ -103,16 +127,27 @@ def build_seen(
     )
 
 
-def update_seen(seen: DataFrame, new_hashes: DataFrame, n_buckets: int, fpp: float) -> DataFrame:
+def update_seen(
+    seen: DataFrame, new_hashes: DataFrame, n_buckets: int, fpp: float,
+    kind: str = "bloom",
+) -> DataFrame:
     """Fold new url_hashes into the sharded seen state (cogroup per bucket —
-    only buckets receiving new URLs are rewritten). The bloom is rebuilt
-    right-sized from the merged exact count on every touch: O(state) adds,
-    the same order as the unavoidable blob re-serialization."""
+    only buckets receiving new URLs are rewritten).
+
+    kind='bloom': the filter is rebuilt right-sized from the merged exact
+    count on every touch — O(state) adds per dirty bucket, the same order
+    as the unavoidable blob re-serialization.
+    kind='cuckoo': the fold is INCREMENTAL — the prior filter deserializes
+    and only the fresh keys insert, O(batch) hashing per touch; the filter
+    is rebuilt (2x-resized) only when the fold would push it past its
+    target load. At a 10^6-key bucket touched every epoch this is ~10^3x
+    less filter work than the bloom rebuild."""
     nh = new_hashes.withColumn("bucket_id", bucket_expr(F.col("url_hash"), n_buckets))
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         prior = _unpack(left["hashes"].iloc[0]) if len(left) else np.empty(0, np.uint64)
         bid = int(left["bucket_id"].iloc[0]) if len(left) else int(right["bucket_id"].iloc[0])
+        fresh = np.empty(0, dtype=np.uint64)
         if len(right):
             fresh = np.unique(right["url_hash"].to_numpy().astype(np.uint64))
             fresh = fresh[~_member(prior, fresh)]
@@ -123,11 +158,24 @@ def update_seen(seen: DataFrame, new_hashes: DataFrame, n_buckets: int, fpp: flo
             )
         else:
             merged = prior
+        if kind == "cuckoo" and len(left) and left["bloom"].iloc[0] is not None:
+            filt = deserialize_prefilter(left["bloom"].iloc[0])
+            if (
+                isinstance(filt, Cuckoo)
+                and not filt.saturated
+                and filt.n_items + len(fresh) <= filt.capacity
+            ):
+                filt.add(fresh)  # incremental: O(batch), not O(state)
+                blob = filt.serialize()
+            else:
+                blob = _prefilter_for(merged, fpp, kind)
+        else:
+            blob = _prefilter_for(merged, fpp, kind)
         return pd.DataFrame(
             {
                 "bucket_id": [bid],
                 "n_items": [len(merged)],
-                "bloom": [_bloom_for(merged, fpp)],
+                "bloom": [blob],
                 "hashes": [merged.tobytes()],
             }
         )
@@ -136,6 +184,53 @@ def update_seen(seen: DataFrame, new_hashes: DataFrame, n_buckets: int, fpp: flo
         seen.groupBy("bucket_id")
         .cogroup(nh.groupBy("bucket_id"))
         .applyInPandas(merge, SEEN_SCHEMA)
+    )
+
+
+def retire_seen(
+    seen: DataFrame, retire_hashes: DataFrame, n_buckets: int, fpp: float,
+    kind: str = "bloom",
+) -> DataFrame:
+    """REMOVE url_hashes from the seen state — the recrawl/TTL/blacklist
+    path: a retired URL becomes admissible again on its next sighting.
+    Cogroup per bucket, only buckets receiving retirements rewritten.
+    The exact packed array drops the keys either way; the tier-1 filter is
+    deleted from IN PLACE when it's a cuckoo (O(retired) — the property the
+    north_rule's 'bloom/cuckoo' choice buys) and rebuilt right-sized when
+    it's a bloom (blooms cannot delete)."""
+    rh = retire_hashes.withColumn(
+        "bucket_id", bucket_expr(F.col("url_hash"), n_buckets)
+    )
+
+    def remove(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        prior = _unpack(left["hashes"].iloc[0]) if len(left) else np.empty(0, np.uint64)
+        bid = int(left["bucket_id"].iloc[0]) if len(left) else int(right["bucket_id"].iloc[0])
+        gone = np.empty(0, dtype=np.uint64)
+        if len(right) and len(prior):
+            gone = np.unique(right["url_hash"].to_numpy().astype(np.uint64))
+            gone = gone[_member(prior, gone)]
+        merged = prior[~_member(gone, prior)] if len(gone) else prior
+        blob = left["bloom"].iloc[0] if len(left) else None
+        if len(gone) or blob is None:
+            filt = deserialize_prefilter(blob) if blob is not None else None
+            if isinstance(filt, Cuckoo) and not filt.saturated:
+                filt.delete(gone)  # in place: O(retired), not O(state)
+                blob = filt.serialize()
+            else:
+                blob = _prefilter_for(merged, fpp, kind)
+        return pd.DataFrame(
+            {
+                "bucket_id": [bid],
+                "n_items": [len(merged)],
+                "bloom": [blob],
+                "hashes": [merged.tobytes()],
+            }
+        )
+
+    return (
+        seen.groupBy("bucket_id")
+        .cogroup(rh.groupBy("bucket_id"))
+        .applyInPandas(remove, SEEN_SCHEMA)
     )
 
 
@@ -153,7 +248,7 @@ def maybe_seen_flags(candidates: DataFrame, seen: DataFrame, n_buckets: int) -> 
         if not len(cand_pdf):
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
         if len(blob_pdf):
-            b = Bloom.deserialize(blob_pdf["bloom"].iloc[0])
+            b = deserialize_prefilter(blob_pdf["bloom"].iloc[0])
             flags = b.contains(cand_pdf["url_hash"].to_numpy().astype("uint64"))
         else:
             flags = [False] * len(cand_pdf)

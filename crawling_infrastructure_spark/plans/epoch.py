@@ -228,7 +228,8 @@ class CrawlJob:
         if self.cfg.dedup and self.cfg.bloom_prefilter:
             with prof.step("seen_write"):
                 self.seen_t.write_full(
-                    build_seen(f.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
+                    build_seen(f.select("url_hash"), self.cfg.seen_buckets,
+                               self.cfg.bloom_fpp, kind=self.cfg.seen_prefilter),
                     tag="epoch-0",
                 )
         with prof.step("final_count"):
@@ -254,7 +255,8 @@ class CrawlJob:
             # per-crash event, not a per-epoch cost.
             f2 = self.frontier_t.read(self.spark, FRONTIER_SCHEMA)
             self.seen_t.write_full(
-                build_seen(f2.select("url_hash"), self.cfg.seen_buckets, self.cfg.bloom_fpp),
+                build_seen(f2.select("url_hash"), self.cfg.seen_buckets,
+                           self.cfg.bloom_fpp, kind=self.cfg.seen_prefilter),
                 tag="resume-rebuild",
             )
         tags = [
@@ -328,7 +330,8 @@ class CrawlJob:
             return
         seen_dirty = self.seen_t.read_buckets(self.spark, dirty, SEEN_SCHEMA)
         self.seen_t.merge_buckets(
-            update_seen(seen_dirty, new_hashes, self.cfg.seen_buckets, self.cfg.bloom_fpp),
+            update_seen(seen_dirty, new_hashes, self.cfg.seen_buckets,
+                        self.cfg.bloom_fpp, kind=self.cfg.seen_prefilter),
             dirty,
             tag=tag,
         )
@@ -646,6 +649,7 @@ class CrawlJob:
                             frontier.select("url_hash"),
                             self.cfg.seen_buckets,
                             self.cfg.bloom_fpp,
+                            kind=self.cfg.seen_prefilter,
                         ),
                         tag=f"epoch-{epoch}-bootstrap",
                     )
