@@ -256,7 +256,11 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # exact-substring dedup (rolling 8-token window hash join)
+    "dedup_substring",
     "embedding_neardup",
+    # trained-k-means-cell semantic dedup (SemDedup)
+    "semdedup",
     "ann_cosine_topk",
     # the trained-quantizer scale path (broadcast codebook + nprobe)
     "ann_cosine_topk_ivf",
@@ -264,6 +268,9 @@ HEADLINE_QUERIES = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    # Gopher repetition filters + PII scrub (all-JVM text passes)
+    "repetition_stats",
+    "pii_scrub",
     "media_features",
     "windowed_event_counts",
     "sessionize",

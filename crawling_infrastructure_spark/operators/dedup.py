@@ -128,6 +128,47 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shared(shared, sizes, threshold)
 
 
+def substring_dup_pairs(
+    docs: DataFrame, window: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_window_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate pairs (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022 — the suffix-array dedup,
+    re-expressed for Spark): two documents are substring-duplicates when
+    they share at least one verbatim run of ``window`` consecutive tokens.
+    Returns (doc_a, doc_b, n_shared_windows) with doc_a < doc_b, counting
+    DISTINCT shared windows.
+
+    Scale shape: a distributed suffix array is the wrong tool on Spark —
+    the equivalent join-friendly form is the rolling token-window hash.
+    Each doc explodes to its distinct ``window``-token windows, each window
+    collapses to the 60-bit md5-prefix hash, and the self-join carries
+    8 bytes per row, never the window text. ``max_window_df`` drops
+    boilerplate windows (site chrome, license headers) above a document-
+    frequency cap BEFORE the self-join — the same quadratic-group guard as
+    ``ngram_jaccard_pairs``'s stopword-shingle cap. Collision bound: 60-bit
+    hash over ~10^10 distinct windows gives < 10^-4 expected false pairs;
+    exactness-critical callers verify survivors with one string equi-join.
+    """
+    sh = word_shingles(docs, window, id_col, text_col)
+    hashed = sh.select("doc_id", md5_prefix_hash_col(F.col("shingle"), None).alias("wh"))
+    if max_window_df is not None:
+        # window count shares the hash exchange with the self-join below
+        w = Window.partitionBy("wh")
+        hashed = hashed.withColumn("_df", F.count("*").over(w)).filter(
+            F.col("_df") <= max_window_df
+        ).drop("_df")
+    a = hashed.select(F.col("doc_id").alias("doc_a"), "wh")
+    b = hashed.select(F.col("doc_id").alias("doc_b"), "wh")
+    return (
+        a.join(b, "wh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH — all-JVM (no Python UDF anywhere in the sketch)
 # ---------------------------------------------------------------------------

@@ -219,3 +219,52 @@ def cosine_topk_ivf(
     bq = with_probe_cells(queries, centroids, nprobe)
     bc = with_cell(corpus, centroids)
     return cosine_topk_blocked(bq, bc, k=k, block_col="blk")
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication inside trained k-means cells — cluster the corpus with
+    the IVF coarse quantizer, compute pairwise cosine ONLY within each
+    cell, and drop every vector that has a same-cell neighbor above the
+    similarity threshold with a smaller id (the deterministic
+    keep-one-representative rule; the paper keeps the item with lowest
+    distance to the centroid — any fixed rule works, ids make the result
+    engine-reproducible).
+
+    Returns one row per input vector: (vec_id, cell, n_close, dup_of,
+    removed) where dup_of is the smallest close neighbor id (-1 when
+    kept) and removed is 1/0.
+
+    Scale shape: the O(n^2) cosine matrix never forms — pairs are an
+    equi-join on the cell id (at 10^9 vectors with ~sqrt(n) cells each
+    join group is ~sqrt(n), same as the IVF search path), the quantizer
+    rides a broadcast variable, and the output is one row per vector with
+    no embedding column, so nothing downstream carries vectors."""
+    centroids = kmeans_train(emb, k, iters, vec_col)
+    cells = with_cell(emb.select("vec_id", vec_col), centroids, vec_col=vec_col, out="cell")
+    a = cells.select("vec_id", F.col(vec_col).alias("ea"), "cell")
+    b = cells.select(F.col("vec_id").alias("other"), F.col(vec_col).alias("eb"), "cell")
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("other") < F.col("vec_id"))
+        .filter(F.round(_cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        .groupBy("vec_id")
+        .agg(F.min("other").alias("dup_of"), F.count("*").alias("n_close"))
+    )
+    return (
+        cells.select("vec_id", "cell")
+        .join(close, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+            F.when(F.col("dup_of").isNotNull(), 1).otherwise(0).alias("removed"),
+        )
+    )

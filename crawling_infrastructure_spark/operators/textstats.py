@@ -102,3 +102,96 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, MassiveText §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_occurrences(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram) with one row per OCCURRENCE (not distinct — repetition
+    measures need multiplicity, unlike the dedup shingles). Same
+    single-space split as word_shingles for engine parity."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition-quality features per document (the MassiveText
+    filters a pre-training pipeline runs before anything model-based):
+
+    - ``top_bigram_frac``:  occurrences of the most frequent 2-gram over
+      total 2-gram occurrences (Gopher rejects > 0.20)
+    - ``top_trigram_frac``: same for 3-grams (Gopher rejects > 0.18)
+    - ``dup_trigram_frac``: fraction of 3-gram occurrences whose gram
+      occurs more than once in the doc (duplicate-n-gram family)
+
+    All-JVM: one explode + hash-aggregate per gram width (the shuffle
+    carries (doc_id, gram-hash) counts, map-side combined — at 100 TB the
+    per-doc gram histogram never materializes anywhere except as partial
+    aggregates). Docs shorter than the gram width get 0.0 (no repetition
+    evidence), keeping the output total."""
+    def per_doc(n: int, prefix: str) -> DataFrame:
+        counts = _ngram_occurrences(docs, n, id_col, text_col).groupBy(
+            "doc_id", "gram"
+        ).agg(F.count("*").alias("c"))
+        return counts.groupBy("doc_id").agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias(f"top_{prefix}gram_frac"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                4,
+            ).alias(f"dup_{prefix}gram_frac"),
+        )
+    bi = per_doc(2, "bi").drop("dup_bigram_frac")
+    tri = per_doc(3, "tri")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (regex family shared verbatim with the oracle)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to constructs Java regex and RE2 evaluate identically
+# (character classes, bounded repetition, \b) — no lookaround, no backrefs,
+# so Spark's regexp_replace/regexp_count and DuckDB's regexp_* agree
+# byte-for-byte. Redaction applies in dict order; counts run on the
+# ORIGINAL text so replacements never mask each other.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts + redacted text — the scrub pass a training-data
+    pipeline runs before tokenization. Returns (doc_id, n_email, n_ipv4,
+    n_phone, redacted_md5): the redacted text itself stays distributed
+    (only its md5 surfaces, so the operator's output is compare-sized at
+    any corpus scale). All-JVM regex — whole-stage codegen, no Python."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    red = t
+    for pat, token in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("redacted_md5"))

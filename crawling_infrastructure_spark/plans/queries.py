@@ -32,6 +32,7 @@ from crawling_infrastructure_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_neardup_pairs,
+    substring_dup_pairs,
 )
 from crawling_infrastructure_spark.operators.multimodal import extract_media_features
 from crawling_infrastructure_spark.operators.similarity import (
@@ -43,7 +44,9 @@ from crawling_infrastructure_spark.operators.textstats import (
     STOPWORDS,
     fingerprint,
     lang_id,
+    pii_scrub,
     quality_score,
+    repetition_stats,
     token_counts,
 )
 
@@ -812,6 +815,58 @@ def q_corpus_budget_sample(spark, sf_dir):
     ).select("doc_id", "guessed_lang", "n_bpe_tokens")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022, re-expressed as a rolling
+    8-token-window hash join): pairs sharing >= 1 verbatim 8-token run.
+    The DF cap (50) is engaged so the oracle also pins the boilerplate
+    guard, not just the happy path."""
+    return substring_dup_pairs(
+        _t(spark, sf_dir, "documents"), window=8, max_window_df=50
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition filters: top-2gram / top-3gram /
+    duplicate-3gram occurrence fractions per doc."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injected per doc so the scrub regexes have real
+# positives to find in the synthetic word-salad corpus; the oracle derives
+# the identical column, so the md5 compare pins detection AND redaction.
+def _with_injected_pii(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (email / IPv4 / phone) over text with
+    deterministically injected PII; output carries match counts and the
+    md5 of the redacted text (redaction checked byte-for-byte without the
+    compare ever carrying the corpus)."""
+    return pii_scrub(_with_injected_pii(_t(spark, sf_dir, "documents")))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): k-means-cell-blocked semantic dedup —
+    the quantizer is the same deterministic trained k-means as the IVF
+    path, and the oracle retrains it as chained CTEs, so the hash compare
+    pins training + cell assignment + the keep/remove decision."""
+    from crawling_infrastructure_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.35)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -857,6 +912,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_language_budget": q_corpus_language_budget,
     "corpus_budget_sample": q_corpus_budget_sample,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+    "dedup_substring": q_dedup_substring,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "semdedup": q_semdedup,
 }
 
 
@@ -964,14 +1023,12 @@ WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= {threshold}
 """
 
 
-def _ann_ivf_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, probes: int = 20,
-    nprobe: int = 1,
-) -> str:
-    """Trained-IVF oracle: the identical deterministic k-means (lowest-id
-    init, squared-L2 argmin with index tie-break, per-dim half-up-rounded
-    means, empty-cluster carry) unrolled as chained CTEs, then the same
-    intra-cell cosine ranking as the blocked oracle."""
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list[str]:
+    """The deterministic Lloyd k-means (lowest-id init, squared-L2 argmin
+    with index tie-break, per-dim half-up-rounded means, empty-cluster
+    carry) unrolled as chained CTEs ``c0..c{iters}`` plus the final
+    assignment ``af (vec_id, embedding, j)`` — shared by the trained-IVF
+    ANN oracle and the SemDedup oracle."""
 
     def dist(e_emb: str, c_emb: str) -> str:
         t = f"(CAST({e_emb}[i] AS DOUBLE) - {c_emb}[i])"
@@ -1015,6 +1072,23 @@ def _ann_ivf_sql(
     FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1
 )"""
     )
+    return parts
+
+
+def _ann_ivf_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, topk: int = 5, probes: int = 20,
+    nprobe: int = 1,
+) -> str:
+    """Trained-IVF oracle: the shared k-means CTE chain, then the same
+    intra-cell cosine ranking as the blocked oracle."""
+
+    def dist(e_emb: str, c_emb: str) -> str:
+        t = f"(CAST({e_emb}[i] AS DOUBLE) - {c_emb}[i])"
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), i -> {t} * {t}))"
+        )
+
+    parts = _kmeans_ctes(k, iters, dim)
     parts.append(
         f"""qf AS (
   SELECT vec_id, embedding, j FROM (
@@ -1037,6 +1111,123 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
          ) AS rank
   FROM qf a JOIN af b ON a.j = b.j AND a.vec_id <> b.vec_id)
 WHERE rank <= {topk}
+"""
+
+
+def _semdedup_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """SemDedup oracle: retrain the identical k-means (shared CTE chain),
+    then within-cell cosine >= threshold against smaller ids decides
+    removal — the same keep-lowest-id rule as the Spark operator."""
+    parts = _kmeans_ctes(k, iters, dim)
+    parts.append(
+        f"""close AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of, count(*) AS n_close
+  FROM af a JOIN af b ON a.j = b.j AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {threshold}
+  GROUP BY a.vec_id
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT a.vec_id AS vec_id, a.j AS cell,
+       CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+       CAST(coalesce(c.dup_of, -1) AS BIGINT) AS dup_of,
+       CASE WHEN c.dup_of IS NOT NULL THEN 1 ELSE 0 END AS removed
+FROM af a LEFT JOIN close c ON a.vec_id = c.vec_id
+"""
+
+
+def _substring_sql(window: int = 8, max_df: int = 50) -> str:
+    """Exact-substring oracle: the identical rolling window set (distinct
+    per doc), the identical 60-bit md5-prefix window hash, the identical
+    DF cap, then the self-join."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= {window}
+         THEN list_transform(generate_series(1, len(t) - {window - 1}),
+                             i -> array_to_string(t[i:i + {window - 1}], ' '))
+         ELSE [] END) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS wh FROM sh
+),
+capped AS (
+  SELECT doc_id, wh FROM (
+    SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS df FROM hashed)
+  WHERE df <= {max_df}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
+FROM capped a JOIN capped b USING (wh)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _repetition_sql() -> str:
+    """Repetition-stats oracle: occurrence (non-distinct) n-grams from the
+    identical single-space split, per-doc top/dup fractions."""
+
+    def grams(n: int) -> str:
+        joined = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+        return f"""(
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_transform(generate_series(1, len(t) - {n - 1}), i -> {joined})
+         ELSE [] END) AS gram
+  FROM toks)"""
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM {grams(2)} g GROUP BY 1, 2),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM {grams(3)} g GROUP BY 1, 2),
+a2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+       FROM c2 GROUP BY 1),
+a3 AS (SELECT doc_id,
+              round(max(c) * 1.0 / sum(c), 4) AS top_trigram_frac,
+              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+                AS dup_trigram_frac
+       FROM c3 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(top_trigram_frac, 0.0) AS top_trigram_frac,
+       coalesce(dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM documents d
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
+LEFT JOIN a3 ON a3.doc_id = d.doc_id
+"""
+
+
+def _pii_sql() -> str:
+    """PII oracle: the identical injected column, the identical regex
+    family (constructs Java regex and RE2 agree on), counts via
+    regexp_extract_all and redaction via chained global regexp_replace."""
+    from crawling_infrastructure_spark.operators.textstats import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    red = "text"
+    for pat, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.7 tel +1-202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_md5
+FROM injected
 """
 
 
@@ -1651,4 +1842,8 @@ FROM documents
     "corpus_language_budget": _corpus_budget_sql(),
     "corpus_budget_sample": _corpus_sample_sql(),
     "ann_cosine_topk_ivf": _ann_ivf_sql(nprobe=2),
+    "dedup_substring": _substring_sql(window=8, max_df=50),
+    "repetition_stats": _repetition_sql(),
+    "pii_scrub": _pii_sql(),
+    "semdedup": _semdedup_sql(k=8, iters=3, threshold=0.35),
 }

@@ -1,0 +1,116 @@
+"""Round-5 pipeline additions: exact-substring dedup (Lee et al. 2022),
+Gopher repetition stats, PII scrub, SemDedup. Each test pins semantics on a
+hand-built corpus where the expected answer is computable by eye; the
+driver oracle pins full-scale agreement with DuckDB separately."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawling_infrastructure_spark.operators.dedup import substring_dup_pairs
+from crawling_infrastructure_spark.operators.textstats import (
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_substring_dup_pairs_window_semantics(spark):
+    run = "a b c d e f g h"  # exactly one 8-token window
+    docs = _docs(
+        spark,
+        [
+            f"x1 x2 {run} y1 y2",  # 0: contains the run
+            f"z1 {run} z2 z3 z4",  # 1: contains the run
+            "a b c d e f g q r s",  # 2: 7-token overlap only — NOT a pair
+            "t u v w",  # 3: shorter than the window
+        ],
+    )
+    rows = substring_dup_pairs(docs, window=8).collect()
+    assert [(r.doc_a, r.doc_b, r.n_shared_windows) for r in rows] == [(0, 1, 1)]
+
+
+def test_substring_dup_df_cap_drops_boilerplate(spark):
+    boiler = "all rights reserved contact the site admin now"
+    docs = _docs(spark, [f"{boiler} unique{i}" for i in range(4)])
+    # every doc shares the boilerplate window -> 6 pairs uncapped, 0 capped
+    assert substring_dup_pairs(docs, window=8).count() == 6
+    assert substring_dup_pairs(docs, window=8, max_window_df=3).count() == 0
+
+
+def test_repetition_stats_fractions(spark):
+    docs = _docs(
+        spark,
+        [
+            "spam spam spam spam",  # bigrams: 3x "spam spam"; trigrams: 2x
+            "a b c d",  # no repetition
+            "xy",  # shorter than any gram width -> zeros
+        ],
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[0].top_bigram_frac == 1.0
+    assert got[0].top_trigram_frac == 1.0
+    assert got[0].dup_trigram_frac == 1.0
+    assert got[1].top_bigram_frac == round(1 / 3, 4)
+    assert got[1].dup_trigram_frac == 0.0
+    assert got[2].top_bigram_frac == 0.0 and got[2].dup_trigram_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    docs = _docs(
+        spark,
+        [
+            "mail bob.smith@corp.example.org and alice@x.io from 192.168.1.17 "
+            "tel +1-415-555-0000 done",
+            "no pii here at all",
+        ],
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_phone) == (2, 1, 1)
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (0, 0, 0)
+    # redaction is total: recompute the expected md5 of the scrubbed string
+    import hashlib
+
+    scrubbed = "mail <EMAIL> and <EMAIL> from <IP> tel <PHONE> done"
+    assert got[0].redacted_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
+
+
+def test_semdedup_keep_lowest_id(spark):
+    from crawling_infrastructure_spark.operators.similarity import semdedup
+
+    # two tight groups on orthogonal axes + one singleton, k=2 cells
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.01, 0.99, 0.0]),  # near-dup of 2
+        (4, [0.0, 0.0, 1.0]),  # singleton
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in semdedup(emb, k=2, iters=2, threshold=0.9).collect()}
+    assert got[0].removed == 0 and got[2].removed == 0
+    assert got[1].removed == 1 and got[1].dup_of == 0
+    # 4 may land in either of the 2 cells; orthogonal to both groups ->
+    # cosine ~0 either way, never removed
+    assert got[4].removed == 0 and got[4].dup_of == -1
+    # vec 3: removed iff it shares a cell with vec 2 (k=2 on 3 directions
+    # must merge two groups; whichever way, the removal evidence is exact)
+    if got[3].removed:
+        assert got[3].dup_of in (0, 1, 2)
+
+
+def test_new_queries_plan_has_no_cartesian(spark, tmp_path):
+    """The new registry entries keep the no-CartesianProduct invariant
+    (crossJoin against the 1-row codebook relation compiles to a broadcast
+    nested-loop, which is O(n) and fine)."""
+    from crawling_infrastructure_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ["dedup_substring", "repetition_stats", "pii_scrub", "semdedup"]:
+        plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
