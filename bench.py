@@ -280,6 +280,8 @@ HEADLINE_QUERIES = [
     "training_corpus",
     # the mixture step: per-language token-budget prefix sampling
     "corpus_budget_sample",
+    # link-analysis crawl prioritization (3 PageRank iterations, one plan)
+    "host_pagerank",
 ]
 
 

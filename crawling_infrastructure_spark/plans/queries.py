@@ -867,6 +867,22 @@ def q_semdedup(spark, sf_dir):
     return semdedup(_t(spark, sf_dir, "embeddings"), k=8, iters=3, threshold=0.35)
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic 50-node host graph
+    derived from events (src = user_id%50, dst = event_id%50): the link-
+    analysis priority signal a web-scale frontier scheduler feeds into
+    the claim path. 3 unrolled iterations in ONE lazy plan (no driver
+    loop); the oracle unrolls the identical iterations as chained CTEs,
+    so the hash compare pins every iteration's mass propagation."""
+    from crawling_infrastructure_spark.operators.linkrank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"), (F.col("event_id") % 50).alias("dst")
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -916,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "semdedup": q_semdedup,
+    "host_pagerank": q_host_pagerank,
 }
 
 
@@ -1228,6 +1245,43 @@ SELECT doc_id,
        {counts},
        md5({red}) AS redacted_md5
 FROM injected
+"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """PageRank oracle: the identical fixed iterations unrolled as chained
+    CTEs. Float parity rules: every constant is CAST to DOUBLE so DuckDB
+    doesn't do DECIMAL arithmetic where Spark does IEEE double (1 - 0.85
+    must be 0.15000000000000002 in both engines), and each iteration
+    rounds half-up to 9 in-engine exactly like the operator."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        """e AS (
+  SELECT DISTINCT user_id % 50 AS src, event_id % 50 AS dst
+  FROM events WHERE user_id % 50 <> event_id % 50
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         round((CAST(1.0 AS DOUBLE) - {d}) / nn.n
+               + {d} * coalesce(m.in_mass, CAST(0 AS DOUBLE)), 9) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i - 1}.rank / deg.deg) AS in_mass
+    FROM e JOIN deg USING (src) JOIN r{i - 1} ON r{i - 1}.node = e.src
+    GROUP BY 1) m ON m.node = nodes.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT node, round(rank, 6) AS rank FROM r{iters}
 """
 
 
@@ -1846,4 +1900,5 @@ FROM documents
     "repetition_stats": _repetition_sql(),
     "pii_scrub": _pii_sql(),
     "semdedup": _semdedup_sql(k=8, iters=3, threshold=0.35),
+    "host_pagerank": _pagerank_sql(iters=3, damping=0.85),
 }

@@ -114,3 +114,49 @@ def test_new_queries_plan_has_no_cartesian(spark, tmp_path):
     for name in ["dedup_substring", "repetition_stats", "pii_scrub", "semdedup"]:
         plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def _pagerank_py(edges, iters=3, damping=0.85):
+    """Independent pure-Python PageRank with the operator's exact rounding
+    contract (half-up to 9 per iteration, 6 at the end)."""
+    import math
+
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: r9(1.0 / n) for v in nodes}
+    for _ in range(iters):
+        mass = {v: 0.0 for v in nodes}
+        for s, d in e:
+            mass[d] += rank[s] / deg[s]
+        rank = {v: r9((1.0 - damping) / n + damping * mass[v]) for v in nodes}
+    return {v: round(rank[v] * 1e6) / 1e6 for v in nodes}
+
+
+def test_pagerank_matches_pure_python(spark):
+    from crawling_infrastructure_spark.operators.linkrank import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (0, 1)]  # dup edge collapses
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got == _pagerank_py(edges, iters=3)
+    # sink-heavy node 2 outranks the dangling-ish node 3
+    assert got[2] > got[3]
+
+
+def test_host_priorities_buckets(spark):
+    from crawling_infrastructure_spark.operators.linkrank import host_priorities
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("c", "b")]
+    df = spark.createDataFrame(edges, "host string, outlink_host string")
+    rows = host_priorities(df, iters=3, levels=5).collect()
+    by_host = {r.host: r for r in rows}
+    assert all(1 <= r.priority <= 5 for r in rows)
+    assert by_host["hub"].priority == 5  # everyone links the hub
+    assert by_host["hub"].rank == max(r.rank for r in rows)
