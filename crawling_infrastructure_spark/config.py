@@ -81,6 +81,17 @@ class TaskConfig:
     # (incremental O(batch) folds + in-place deletion for retire/recrawl —
     # north_rule names both; see operators/seen.py)
     seen_prefilter: str = "bloom"
+    # OPIC-style adaptive prioritization (operators/linkrank.py): accumulate
+    # the (host -> outlink host) graph per epoch and stamp NEW frontier rows
+    # with a PageRank-bucketed priority instead of the constant cfg.priority
+    # (claim already orders by priority DESC, so well-linked hosts crawl
+    # sooner). Rank recompute is O(host graph) — much smaller than the
+    # frontier — every link_rank_every epochs; between recomputes the last
+    # persisted rank table is reused (and restored on resume).
+    link_prioritize: bool = False
+    link_rank_iters: int = 2
+    link_rank_levels: int = 5
+    link_rank_every: int = 1
     # frontier table bucket(N, host_hash) partition count. Epoch write-back
     # rewrites only dirty buckets (catalog.BucketedTable.merge_buckets), so
     # cost per epoch ~ frontier_size * touched_buckets / frontier_buckets.
@@ -141,6 +152,11 @@ class TaskConfig:
         self.priority = min(10, max(1, self.priority))
         if self.seen_prefilter not in ("bloom", "cuckoo"):
             raise ValueError("seen_prefilter must be 'bloom' or 'cuckoo'")
+        if self.link_prioritize:
+            # levels live inside the reference's 1-10 priority range
+            self.link_rank_levels = min(10, max(1, self.link_rank_levels))
+            self.link_rank_iters = max(1, self.link_rank_iters)
+            self.link_rank_every = max(1, self.link_rank_every)
 
     @property
     def epoch_budget(self) -> int:

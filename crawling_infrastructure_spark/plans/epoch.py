@@ -55,7 +55,11 @@ from crawling_infrastructure_spark.operators.fetch import (
     HermeticFetcher,
     fetch_batch,
 )
-from crawling_infrastructure_spark.functions.url import host_col, url_hash_col
+from crawling_infrastructure_spark.functions.url import (
+    canonicalize_url_col,
+    host_col,
+    url_hash_col,
+)
 from crawling_infrastructure_spark.operators.frontier import (
     FRONTIER_COLS,
     assign_regions,
@@ -189,6 +193,13 @@ class CrawlJob:
         self.debug_t = (
             cat.table(f"debug_{cfg.task_id}") if cfg.store_browser_debug else None
         )
+        # OPIC-style adaptive prioritization (cfg.link_prioritize): the
+        # accumulated host graph + the last computed rank table. Both are
+        # catalog tables, so kill-resume restores prioritization state.
+        self.hostgraph_t = self.hostrank_t = None
+        if cfg.link_prioritize:
+            self.hostgraph_t = cat.table(f"hostgraph_{cfg.task_id}")
+            self.hostrank_t = cat.table(f"hostrank_{cfg.task_id}")
         # seen rows are already keyed by bucket_id in [0, seen_buckets):
         # pmod is the identity, merges rewrite only blobs receiving hashes
         self.seen_t = cat.bucketed_table(
@@ -397,6 +408,59 @@ class CrawlJob:
         return time.time() - t0, n
 
     # -- one epoch ----------------------------------------------------------
+    def _apply_link_priorities(
+        self, light: DataFrame, candidates: DataFrame, epoch: int
+    ) -> DataFrame:
+        """OPIC-style adaptive prioritization (cfg.link_prioritize): fold
+        this epoch's (host -> outlink host) edges into the persisted host
+        graph, recompute the PageRank priority table every
+        cfg.link_rank_every epochs, and stamp NEW frontier rows with the
+        bucketed rank — unranked hosts keep the static cfg.priority. The
+        claim stage already orders by priority DESC, so well-linked hosts
+        crawl sooner without touching the claim path.
+
+        Cost shape at the 10^10-URL design point: the edge fold is
+        O(batch) distinct pairs; the rank recompute is O(host graph)
+        (~10^7-10^8 edges — orders of magnitude under the frontier, and
+        the standard price of link-informed scheduling: Abiteboul et al.
+        WWW'03 OPIC; Nutch's LinkRank job is the same loop). The rank
+        table is host-count-bounded, hence the broadcast join."""
+        from crawling_infrastructure_spark.operators.linkrank import host_priorities
+
+        canon_host = host_col(canonicalize_url_col(F.col("item")))
+        edges = (
+            light.select(
+                host_col(F.col("url")).alias("host"),
+                F.explode("outlinks").alias("item"),
+            )
+            .select("host", canon_host.alias("outlink_host"))
+            .filter(
+                F.col("outlink_host").isNotNull()
+                & (F.col("outlink_host") != F.col("host"))
+            )
+            .dropDuplicates(["host", "outlink_host"])
+        )
+        self.hostgraph_t.append(edges, tag=f"epoch-{epoch}")
+        if (epoch - 1) % self.cfg.link_rank_every == 0 or not self.hostrank_t.exists():
+            ranks = host_priorities(
+                self.hostgraph_t.read(self.spark),
+                iters=self.cfg.link_rank_iters,
+                levels=self.cfg.link_rank_levels,
+            )
+            self.hostrank_t.write_full(ranks, tag=f"epoch-{epoch}")
+        ranks = self.hostrank_t.read(self.spark).select(
+            "host", F.col("priority").alias("_rank_priority")
+        )
+        cols = candidates.columns
+        return (
+            candidates.join(F.broadcast(ranks), "host", "left")
+            .withColumn(
+                "priority",
+                F.coalesce(F.col("_rank_priority"), F.col("priority")).cast("int"),
+            )
+            .select(*cols)
+        )
+
     def run_epoch(self, epoch: int) -> EpochStats:
         stats = EpochStats(epoch=epoch)
         prof = _Prof(epoch)
@@ -636,6 +700,9 @@ class CrawlJob:
         scratch: list = []
         try:
             candidates = frontier_rows(outlinks, self.cfg.priority, epoch=epoch)
+            if self.hostrank_t is not None:
+                with prof.step("link_rank"):
+                    candidates = self._apply_link_priorities(light, candidates, epoch)
             if self.region_map is not None:
                 candidates = assign_regions(candidates, self.region_map)
             if self.cfg.respect_robots:

@@ -160,3 +160,46 @@ def test_host_priorities_buckets(spark):
     assert all(1 <= r.priority <= 5 for r in rows)
     assert by_host["hub"].priority == 5  # everyone links the hub
     assert by_host["hub"].rank == max(r.rank for r in rows)
+
+
+def test_link_prioritize_epoch_loop(spark, corpus, tmp_path):
+    """cfg.link_prioritize drives the OPIC loop: host graph accumulates,
+    the rank table persists, and NEW frontier rows are stamped with the
+    bucketed PageRank priority current at their enqueue epoch."""
+    from crawling_infrastructure_spark.config import TaskConfig
+    from crawling_infrastructure_spark.operators.linkrank import host_priorities
+    from crawling_infrastructure_spark.plans.epoch import CrawlJob
+    from crawling_infrastructure_spark.schema import FRONTIER_SCHEMA
+    from crawling_infrastructure_spark.sources.seeds import seeds_from_list
+    from crawling_infrastructure_spark.synth import fetch_outcome, seed_urls
+
+    cfg = TaskConfig(
+        task_id="lp", max_items_per_second=3, link_prioritize=True,
+        link_rank_iters=2, link_rank_levels=5,
+    )
+    job = CrawlJob(spark, str(tmp_path / "cat"), corpus, cfg, outcome_fn=fetch_outcome)
+    hist = job.run(seeds=seeds_from_list(spark, seed_urls(6)), max_epochs=2)
+    assert hist and hist[-1].new_urls > 0
+    last_epoch = hist[-1].epoch
+
+    ranks = {r.host: r.priority for r in job.hostrank_t.read(spark).collect()}
+    assert ranks and all(1 <= p <= 5 for p in ranks.values())
+    # the rank table IS the operator output over the accumulated graph
+    expected = {
+        r.host: r.priority
+        for r in host_priorities(
+            job.hostgraph_t.read(spark), iters=2, levels=5
+        ).collect()
+    }
+    assert ranks == expected
+
+    # rows enqueued in the final epoch carry the rank stamp of their host
+    # (link_rank_every=1 -> the persisted table is that epoch's table);
+    # unranked hosts keep the static cfg.priority
+    f = job.frontier_t.read(spark, FRONTIER_SCHEMA)
+    newest = f.filter(f.epoch_added == last_epoch).select("host", "priority").collect()
+    assert newest
+    for r in newest:
+        assert r.priority == ranks.get(r.host, cfg.priority), r.host
+    # prioritization actually engaged: not every stamp equals the default
+    assert any(r.priority != cfg.priority for r in newest)
