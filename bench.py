@@ -282,6 +282,10 @@ HEADLINE_QUERIES = [
     "corpus_budget_sample",
     # link-analysis crawl prioritization (3 PageRank iterations, one plan)
     "host_pagerank",
+    # benchmark decontamination (broadcast eval-window anti-probe)
+    "decontaminate",
+    # concat-and-chunk sequence packing (two-level bucketized cumsum)
+    "pack_sequences",
 ]
 
 

@@ -192,3 +192,120 @@ def corpus_language_budget(docs: DataFrame, kept: DataFrame) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("mean_quality"),
         )
     )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark contamination flags — (doc_id, n_eval_windows) for every
+    training document sharing at least one verbatim ``window``-token run
+    with the held-out evaluation set (the GPT-3 Appendix C / Gopher /
+    Llama decontamination rule, conventionally a 13-gram; the window is a
+    parameter because the right n tracks the tokenizer).
+
+    Scale shape: this is an asymmetric substring join — the eval side is
+    benchmark-sized (10^4-10^6 docs -> 10^7-10^8 distinct window hashes of
+    8 bytes each) while the training side is the 100 TB crawl. The eval
+    window set therefore collapses to DISTINCT 60-bit md5-prefix hashes and
+    broadcasts (``broadcast_eval``), so the training side is ONE scan +
+    explode with a map-side hash probe — no shuffle of training data at
+    all. With ``broadcast_eval=False`` it degrades gracefully to a shuffle
+    semi-structured join on the window hash. Window sets are distinct per
+    doc on the training side and globally distinct on the eval side, so
+    ``count(*)`` after the join is exactly the number of DISTINCT
+    contaminated windows per training doc. Same hash/tokenization as
+    ``dedup.substring_dup_pairs`` (collision bound documented there).
+    """
+    from crawling_infrastructure_spark.operators.dedup import (
+        md5_prefix_hash_col,
+        word_shingles,
+    )
+
+    ev = (
+        word_shingles(eval_docs, window, id_col, text_col)
+        .select(md5_prefix_hash_col(F.col("shingle"), None).alias("wh"))
+        .dropDuplicates(["wh"])
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = word_shingles(docs, window, id_col, text_col).select(
+        "doc_id", md5_prefix_hash_col(F.col("shingle"), None).alias("wh")
+    )
+    return tr.join(ev, "wh").groupBy("doc_id").agg(
+        F.count("*").alias("n_eval_windows")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """``docs`` minus every document ``contamination`` flags — the actual
+    pre-training hygiene step (drop training docs that leak the benchmark).
+    One anti-join against the flag set; column set passes through."""
+    flagged = contamination(
+        docs, eval_docs, window, id_col, text_col, broadcast_eval
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(flagged, id_col, "left_anti")
+
+
+def pack_sequences(
+    scored: DataFrame,
+    capacity: int,
+    token_col: str = "n_bpe_tokens",
+    id_col: str = "doc_id",
+    bucket_bits: int = 13,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the final layout step before
+    tokenized training: documents are laid end-to-end in deterministic
+    hash order and the token stream is cut into fixed ``capacity``-token
+    training sequences. Returns (doc_id, shard_id, shard_offset) where
+    ``shard_id`` is the sequence containing the document's FIRST token and
+    ``shard_offset`` its position inside that sequence — the standard
+    GPT-style packing (documents may straddle a cut; the assignment is by
+    start position, which is what a writer laying out shard files needs).
+
+    Deterministic hash order (md5-prefix of the doc id) doubles as a
+    shuffle: packing is unbiased w.r.t. crawl order and replays/retries/
+    the DuckDB oracle lay out the identical stream.
+
+    Scale shape: the naive form is ONE global cumulative-sum window — a
+    single partition holding the entire corpus, the canonical skew killer.
+    Same two-level construction as ``sample_to_token_budget``: bucket by
+    the hash's top ``bucket_bits`` (bucket order == hash order), aggregate
+    per-bucket token sums (<= 2^bucket_bits rows — driver-scale), one tiny
+    window over THAT for each bucket's stream start, broadcast back, and
+    run the intra-bucket exclusive cumsum per bucket — max 2^-bucket_bits
+    of the corpus per partition, fully parallel."""
+    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
+
+    per = scored.withColumn(
+        "_h", md5_prefix_hash_col(F.col(id_col).cast("string"), modulus=None)
+    ).withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
+    agg = per.groupBy("_b").agg(F.sum(token_col).alias("_btoks"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    starts = agg.withColumn(
+        "_before", F.coalesce(F.sum("_btoks").over(wb), F.lit(0))
+    ).select("_b", "_before")
+    wd = Window.partitionBy("_b").orderBy("_h", id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    start = F.coalesce(F.sum(token_col).over(wd), F.lit(0)) + F.col("_before")
+    return (
+        per.join(F.broadcast(starts), "_b")
+        .withColumn("_start", start)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.floor(F.col("_start") / capacity).cast("long").alias("shard_id"),
+            (F.col("_start") % capacity).cast("long").alias("shard_offset"),
+        )
+    )

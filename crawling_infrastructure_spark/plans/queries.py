@@ -883,6 +883,42 @@ def q_host_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3, damping=0.85)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 Appendix C / Gopher / Llama rule,
+    8-token window): a deterministic slice of documents (doc_id % 97 == 0)
+    plays the held-out eval set; every remaining training doc is flagged
+    with its count of verbatim 8-token runs shared with the eval set, and
+    ``kept`` marks the decontaminated survivor set. The eval window-hash
+    set broadcasts, so the training side never shuffles — the asymmetric
+    shape that makes this viable at 100 TB."""
+    from crawling_infrastructure_spark.operators.corpus import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = contamination(tr, ev, window=8)
+    n = F.coalesce("n_eval_windows", F.lit(0).cast("long"))
+    return tr.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id", n.alias("n_eval_windows"), (n == 0).alias("kept")
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 4096-BPE-token training
+    shards: documents laid end-to-end in md5-hash order, each assigned the
+    shard containing its first token plus its offset inside it. The oracle
+    recomputes the layout with ONE global cumulative window; the engine
+    runs the two-level bucketized form (per-bucket sums + intra-bucket
+    windows) — their hash agreement is exactly the skew-safe/naive
+    equivalence that matters at scale."""
+    from crawling_infrastructure_spark.operators.corpus import pack_sequences
+
+    toks = token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return pack_sequences(toks, capacity=4096)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -933,6 +969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "semdedup": q_semdedup,
     "host_pagerank": q_host_pagerank,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -1183,6 +1221,64 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_windows
 FROM capped a JOIN capped b USING (wh)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+def _decontaminate_sql(window: int = 8, modulus: int = 97) -> str:
+    """Decontamination oracle: identical rolling-window set and 60-bit
+    md5-prefix hash as the engine (shared with _substring_sql), eval side
+    globally distinct, training side distinct per doc, left join back to
+    the full training slice so kept docs appear with 0."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= {window}
+         THEN list_transform(generate_series(1, len(t) - {window - 1}),
+                             i -> array_to_string(t[i:i + {window - 1}], ' '))
+         ELSE [] END) AS shingle
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS wh FROM sh
+),
+ev AS (SELECT DISTINCT wh FROM hashed WHERE doc_id % {modulus} = 0),
+tr AS (SELECT doc_id, wh FROM hashed WHERE doc_id % {modulus} <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (wh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_windows,
+       coalesce(h.n, 0) = 0 AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % {modulus} <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _pack_sequences_sql(capacity: int = 4096) -> str:
+    """Packing oracle: ONE global exclusive-cumsum window over the same
+    md5-prefix doc-id hash order the engine buckets by — the naive form
+    whose agreement with the engine's two-level construction is the point
+    of the compare."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS n,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         coalesce(sum(n) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS strt
+  FROM tok
+)
+SELECT doc_id,
+       CAST(floor(strt / {capacity}) AS BIGINT) AS shard_id,
+       CAST(strt % {capacity} AS BIGINT) AS shard_offset
+FROM c
 """
 
 
@@ -1901,4 +1997,6 @@ FROM documents
     "pii_scrub": _pii_sql(),
     "semdedup": _semdedup_sql(k=8, iters=3, threshold=0.35),
     "host_pagerank": _pagerank_sql(iters=3, damping=0.85),
+    "decontaminate": _decontaminate_sql(window=8, modulus=97),
+    "pack_sequences": _pack_sequences_sql(capacity=4096),
 }

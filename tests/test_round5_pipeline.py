@@ -203,3 +203,87 @@ def test_link_prioritize_epoch_loop(spark, corpus, tmp_path):
         assert r.priority == ranks.get(r.host, cfg.priority), r.host
     # prioritization actually engaged: not every stamp equals the default
     assert any(r.priority != cfg.priority for r in newest)
+
+
+# --- decontamination (GPT-3 Appendix C rule) ---------------------------------
+
+
+def test_contamination_counts_distinct_windows(spark):
+    run1 = "a b c d e f g h"
+    run2 = "p q r s t u v w"
+    ev = _docs(spark, [f"{run1} junk1 junk2 {run2}"])
+    train = spark.createDataFrame(
+        [
+            (10, f"x1 {run1} x2 {run1} x3"),  # run1 twice -> 1 DISTINCT window
+            (11, f"{run1} mid {run2}"),  # both runs -> 2
+            (12, "a b c d e f g q"),  # 7-token overlap only -> clean
+        ],
+        "doc_id long, text string",
+    )
+    from crawling_infrastructure_spark.operators.corpus import (
+        contamination,
+        decontaminate,
+    )
+
+    got = {r.doc_id: r.n_eval_windows for r in contamination(train, ev).collect()}
+    assert got == {10: 1, 11: 2}
+    kept = sorted(r.doc_id for r in decontaminate(train, ev).collect())
+    assert kept == [12]
+
+
+def test_contamination_broadcast_plan(spark):
+    """The eval window set must reach the join as a broadcast so the
+    training side never shuffles (the asymmetric 100 TB shape)."""
+    from crawling_infrastructure_spark.operators.corpus import contamination
+
+    ev = _docs(spark, ["a b c d e f g h i j"])
+    train = _docs(spark, ["k l m n o p q r s t"])
+    plan = contamination(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --- sequence packing ---------------------------------------------------------
+
+
+def test_pack_sequences_layout(spark):
+    """Two-level bucketized packing == the naive global-window layout,
+    and documents straddle shard cuts by start position."""
+    from crawling_infrastructure_spark.operators.corpus import pack_sequences
+    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
+
+    toks = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 30) for i in range(200)],
+        "doc_id long, n_bpe_tokens long",
+    )
+    got = {
+        r.doc_id: (r.shard_id, r.shard_offset)
+        for r in pack_sequences(toks, capacity=64).collect()
+    }
+    # naive reference layout: global cumsum in (md5-prefix hash, id) order
+    order = {
+        r.doc_id: r.h
+        for r in toks.select(
+            "doc_id", md5_prefix_hash_col(F.col("doc_id").cast("string"), None).alias("h")
+        ).collect()
+    }
+    toks_l = sorted(
+        [(i, 7 + (i * 13) % 30) for i in range(200)], key=lambda r: (order[r[0]], r[0])
+    )
+    start = 0
+    for doc_id, n in toks_l:
+        assert got[doc_id] == (start // 64, start % 64), doc_id
+        start += n
+    # every shard boundary is dense: offsets within a shard tile the stream
+    assert start == sum(n for _, n in toks_l)
+
+
+def test_pack_sequences_bucket_width_invariance(spark):
+    """The layout must not depend on the bucket fan-out knob."""
+    from crawling_infrastructure_spark.operators.corpus import pack_sequences
+
+    toks = spark.createDataFrame(
+        [(i, 5 + i % 11) for i in range(100)], "doc_id long, n_bpe_tokens long"
+    )
+    a = sorted(map(tuple, pack_sequences(toks, 32, bucket_bits=2).collect()))
+    b = sorted(map(tuple, pack_sequences(toks, 32, bucket_bits=13).collect()))
+    assert a == b
