@@ -248,6 +248,14 @@ def semdedup(
     no embedding column, so nothing downstream carries vectors."""
     centroids = kmeans_train(emb, k, iters, vec_col)
     cells = with_cell(emb.select("vec_id", vec_col), centroids, vec_col=vec_col, out="cell")
+    # referenced from three join sides below — materialize once instead of
+    # re-running the scan + quantizer assignment per reference (same pattern
+    # as corpus.build_training_corpus survivors; drained by
+    # dedup.release_checkpoints via the shared registry)
+    from crawling_infrastructure_spark.operators import dedup as _dedup
+
+    cells = cells.localCheckpoint(eager=True)
+    _dedup._live_checkpoints.append(cells)
     a = cells.select("vec_id", F.col(vec_col).alias("ea"), "cell")
     b = cells.select(F.col("vec_id").alias("other"), F.col(vec_col).alias("eb"), "cell")
     close = (
