@@ -67,10 +67,18 @@ def build_training_corpus(
     max_tokens: int = 1 << 20,
     minhash_threshold: float = 0.8,
     materialize_survivors: bool = True,
+    eval_docs: DataFrame | None = None,
+    decontam_window: int = 8,
 ) -> DataFrame:
     """The kept corpus: (doc_id, guessed_lang, n_tokens, quality) for every
     document surviving all four gates. Deterministic: every keep decision
-    is a min-id rule, so replays and the oracle agree row-for-row."""
+    is a min-id rule, so replays and the oracle agree row-for-row.
+
+    ``eval_docs`` (optional) adds benchmark decontamination as a fifth
+    gate, applied right after the cheap lang/quality filters and BEFORE
+    any sketching: it's a broadcast window-hash probe (see
+    ``contamination``), so running it early costs one map-side pass and
+    shrinks what the expensive dedup stages see."""
     lang = lang_id(docs)
     qual = quality_score(docs).select("doc_id", "n_tokens", "quality")
     base = (
@@ -83,6 +91,8 @@ def build_training_corpus(
             & F.col("n_tokens").between(min_tokens, max_tokens)
         )
     )
+    if eval_docs is not None:
+        base = decontaminate(base, eval_docs, window=decontam_window)
     # exact dedup: min doc_id per text hash (hash-partition window — one
     # shuffle on the 32-byte hash, never on text)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -308,4 +318,30 @@ def pack_sequences(
             F.floor(F.col("_start") / capacity).cast("long").alias("shard_id"),
             (F.col("_start") % capacity).cast("long").alias("shard_offset"),
         )
+    )
+
+
+def arrange_packed(
+    docs: DataFrame,
+    layout: DataFrame,
+    num_files: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Physically arrange a corpus for a packed-shard writer: join each doc
+    to its ``pack_sequences`` layout row and range-partition by shard so a
+    trainer (or ``.write.parquet``) streams each training sequence's docs
+    contiguously and in offset order.
+
+    Why range (not hash) partitioning: shard ids are the READ order — a
+    range exchange keeps consecutive shards in the same output file, so a
+    sequential reader touches one file at a time instead of striping every
+    sequence across all of them. ``num_files`` is the writer fan-out, NOT
+    one-dir-per-shard (a 10^6-shard corpus must not become 10^6 parquet
+    directories — never use partitionBy(shard_id) for this). Sort is
+    within-partition only: no global sort, and the range exchange samples
+    only (shard_id) keys, never text."""
+    return (
+        docs.join(layout, id_col)
+        .repartitionByRange(num_files, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_offset")
     )

@@ -287,3 +287,65 @@ def test_pack_sequences_bucket_width_invariance(spark):
     a = sorted(map(tuple, pack_sequences(toks, 32, bucket_bits=2).collect()))
     b = sorted(map(tuple, pack_sequences(toks, 32, bucket_bits=13).collect()))
     assert a == b
+
+
+def test_funnel_decontam_gate(spark):
+    """eval_docs adds decontamination as a funnel gate: the kept set is
+    exactly the no-eval funnel minus contaminated doc ids."""
+    from crawling_infrastructure_spark.operators.corpus import (
+        build_training_corpus,
+        contamination,
+        release_checkpoints,
+    )
+
+    base = (
+        "the and for with this that from they have been "
+        "more will home page about news search" 
+    )
+    run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [(i, f"{base} u{i}a u{i}b u{i}c " + (run if i % 3 == 0 else "")) for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = _docs(spark, [f"{run} eval tail"])
+    plain = {r.doc_id for r in build_training_corpus(docs, min_tokens=5).collect()}
+    release_checkpoints()
+    gated = {
+        r.doc_id
+        for r in build_training_corpus(docs, min_tokens=5, eval_docs=ev).collect()
+    }
+    release_checkpoints()
+    dirty = {r.doc_id for r in contamination(docs, ev).collect()}
+    assert dirty  # the gate had something to do
+    assert gated == plain - dirty
+
+
+def test_arrange_packed_contiguous_shards(spark):
+    """Range arrangement keeps shard ids contiguous per output partition
+    and offset-sorted within each shard."""
+    from crawling_infrastructure_spark.operators.corpus import (
+        arrange_packed,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(200)], "doc_id long, text string"
+    )
+    toks = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 30) for i in range(200)], "doc_id long, n_bpe_tokens long"
+    )
+    layout = pack_sequences(toks, capacity=64)
+    arranged = arrange_packed(docs, layout, num_files=4)
+    parts = arranged.select("shard_id", "shard_offset").rdd.glom().collect()
+    ranges = []
+    for part in parts:
+        if not part:
+            continue
+        keys = [(r.shard_id, r.shard_offset) for r in part]
+        assert keys == sorted(keys)  # within-partition order
+        ranges.append((keys[0][0], keys[-1][0]))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # shard ranges never interleave across files
+    # nothing lost in the join/exchange
+    assert arranged.count() == 200
