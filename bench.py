@@ -286,6 +286,8 @@ HEADLINE_QUERIES = [
     "decontaminate",
     # concat-and-chunk sequence packing (two-level bucketized cumsum)
     "pack_sequences",
+    # CCNet-style capped-vocab bigram-LM perplexity scoring
+    "lm_score",
 ]
 
 

@@ -195,3 +195,81 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     for pat, token in PII_PATTERNS.values():
         red = F.regexp_replace(red, pat, token)
     return docs.select(F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("redacted_md5"))
+
+
+def lm_score(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train an add-one-smoothed bigram LM on the corpus itself (vocabulary
+    capped to the ``vocab_size`` most frequent tokens, everything else
+    mapped to ``<unk>``) and score every document by its average negative
+    log-probability under that model — low = fluent/typical, high =
+    gibberish/outlier. The third leg of quality filtering next to the
+    heuristic ratios (``quality_score``) and the Gopher repetition
+    fractions (``repetition_stats``); CCNet buckets the corpus into
+    head/middle/tail on exactly this number.
+
+    Returns (doc_id, n_bigrams, avg_neg_logprob) for every doc with at
+    least one bigram (docs under 2 tokens have no LM evidence and drop).
+
+    Scale shape: the vocabulary cap is what makes this broadcastable —
+    the model is at most (V+1)^2 bigram rows and the context table V+1
+    rows, so SCORING is entirely map-side (two broadcast joins); the only
+    shuffles are the count aggregates that train the model. The mapped
+    bigram stream feeds three consumers (model, context, scoring) and is
+    checkpointed once instead of recomputing the scan per consumer.
+    Determinism: the vocab top-V is totally ordered (count desc, token
+    asc), and each bigram log-prob is rounded half-up to 9 decimals
+    IN-ENGINE before the per-doc sum so partition summation-order noise
+    (~1e-16) snaps to engine-independent values (same device as
+    linkrank.pagerank); the published average rounds to 4.
+    """
+    bi = _ngram_occurrences(docs, 2, id_col, text_col)
+    parts = F.split(F.col("gram"), " ")
+    bi = bi.select(
+        "doc_id", parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
+    )
+    uni = (
+        _ngram_occurrences(docs, 1, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        uni.orderBy(F.desc("c"), F.asc("gram"))
+        .limit(vocab_size)
+        .select(F.col("gram").alias("_v"))
+    )
+    v1 = F.broadcast(vocab.select(F.col("_v").alias("_v1")))
+    v2 = F.broadcast(vocab.select(F.col("_v").alias("_v2")))
+    m = (
+        bi.join(v1, F.col("w1") == F.col("_v1"), "left")
+        .join(v2, F.col("w2") == F.col("_v2"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("_v1", F.lit("<unk>")).alias("mw1"),
+            F.coalesce("_v2", F.lit("<unk>")).alias("mw2"),
+        )
+    )
+    from crawling_infrastructure_spark.operators import dedup as _dedup
+
+    m = m.localCheckpoint(eager=True)
+    _dedup._live_checkpoints.append(m)
+    model = m.groupBy("mw1", "mw2").agg(F.count("*").alias("c12"))
+    ctx = m.groupBy("mw1").agg(F.count("*").alias("c1"))
+    denom_add = float(vocab_size + 1)  # smoothing vocab includes <unk>
+    lp = F.round(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(denom_add))), 9
+    )
+    scored = (
+        m.join(F.broadcast(model), ["mw1", "mw2"])
+        .join(F.broadcast(ctx), "mw1")
+        .withColumn("_lp", lp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.sum("_lp") / F.count("*"), 4).alias("avg_neg_logprob"),
+    )

@@ -919,6 +919,18 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(toks, capacity=4096)
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring: add-one-smoothed bigram
+    model trained on the corpus itself with a 256-token vocabulary cap
+    (everything else -> <unk>), every doc scored by average negative
+    log-prob. The oracle retrains the identical model as CTEs — vocab
+    selection, <unk> mapping, smoothed probabilities, 9-decimal in-engine
+    log rounding — so the hash compare pins training AND scoring."""
+    from crawling_infrastructure_spark.operators.textstats import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"), vocab_size=256)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "queue_stats": q_queue_stats,
     "task_finished_counts": q_task_finished_counts,
@@ -971,6 +983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "lm_score": q_lm_score,
 }
 
 
@@ -1279,6 +1292,45 @@ SELECT doc_id,
        CAST(floor(strt / {capacity}) AS BIGINT) AS shard_id,
        CAST(strt % {capacity} AS BIGINT) AS shard_offset
 FROM c
+"""
+
+
+def _lm_score_sql(vocab_size: int = 256) -> str:
+    """LM-scoring oracle: retrain the identical capped-vocab add-one
+    bigram model (top-V by count desc / token asc, <unk> mapping, context
+    counts from the bigram stream itself) and score with the same
+    9-decimal ln rounding before the per-doc sum."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(generate_series(1, len(t) - 1),
+                             i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS gram
+  FROM toks
+),
+bw AS (
+  SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+  FROM bi
+),
+uw AS (SELECT unnest(t) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS c FROM uw GROUP BY w),
+vocab AS (SELECT w FROM ucnt ORDER BY c DESC, w ASC LIMIT {vocab_size}),
+m AS (
+  SELECT doc_id, coalesce(v1.w, '<unk>') AS mw1, coalesce(v2.w, '<unk>') AS mw2
+  FROM bw LEFT JOIN vocab v1 ON bw.w1 = v1.w LEFT JOIN vocab v2 ON bw.w2 = v2.w
+),
+model AS (SELECT mw1, mw2, count(*) AS c12 FROM m GROUP BY 1, 2),
+ctx AS (SELECT mw1, count(*) AS c1 FROM m GROUP BY 1),
+s AS (
+  SELECT doc_id,
+         round(ln((c12 + 1.0) / (c1 + {vocab_size + 1}.0)), 9) AS lp
+  FROM m JOIN model USING (mw1, mw2) JOIN ctx USING (mw1)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-sum(lp) / count(*), 4) AS avg_neg_logprob
+FROM s GROUP BY doc_id
 """
 
 
@@ -1999,4 +2051,5 @@ FROM documents
     "host_pagerank": _pagerank_sql(iters=3, damping=0.85),
     "decontaminate": _decontaminate_sql(window=8, modulus=97),
     "pack_sequences": _pack_sequences_sql(capacity=4096),
+    "lm_score": _lm_score_sql(vocab_size=256),
 }

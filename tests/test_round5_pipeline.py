@@ -349,3 +349,32 @@ def test_arrange_packed_contiguous_shards(spark):
         assert hi_a <= lo_b  # shard ranges never interleave across files
     # nothing lost in the join/exchange
     assert arranged.count() == 200
+
+
+def test_lm_score_hand_model(spark):
+    """Pins the full LM pipeline on a corpus small enough to train by
+    hand: vocab cap forces <unk>, context counts come from the bigram
+    stream, add-one smoothing over V+1, and the rounding contract
+    (9-decimal per-term half-up, 4-decimal average)."""
+    import math
+
+    from crawling_infrastructure_spark.operators.textstats import lm_score
+
+    def half_up(x, n):
+        s = -1.0 if x < 0 else 1.0
+        return s * math.floor(abs(x) * 10**n + 0.5) / 10**n
+
+    docs = _docs(spark, ["a b a b", "a b c", "z"])
+    got = {r.doc_id: r for r in lm_score(docs, vocab_size=2).collect()}
+    # vocab (top-2 by count desc, token asc) = {a, b}; c,z -> <unk>
+    # model: (a,b):3 (b,a):1 (b,<unk>):1; ctx: a:3 b:2; V+1 = 3
+    lp_ab = half_up(math.log((3 + 1.0) / (3 + 3.0)), 9)
+    lp_ba = half_up(math.log((1 + 1.0) / (2 + 3.0)), 9)
+    lp_bu = half_up(math.log((1 + 1.0) / (2 + 3.0)), 9)
+    assert got[0].n_bigrams == 3
+    assert got[0].avg_neg_logprob == half_up(-(2 * lp_ab + lp_ba) / 3, 4)
+    assert got[1].n_bigrams == 2
+    assert got[1].avg_neg_logprob == half_up(-(lp_ab + lp_bu) / 2, 4)
+    assert 2 not in got  # single-token doc has no LM evidence
+    # the repeated-pattern doc is MORE probable (lower neg-logprob)
+    assert got[0].avg_neg_logprob < got[1].avg_neg_logprob
