@@ -92,6 +92,14 @@ def build_training_corpus(
         )
     )
     if eval_docs is not None:
+        # decontaminate references `base` twice (contamination flag set +
+        # anti-join left side) and Catalyst has no cross-join-side subplan
+        # reuse — materialize the gated set once or the whole lang/quality
+        # subtree runs twice (the same recompute the survivor checkpoint
+        # below exists for)
+        if materialize_survivors:
+            base = base.localCheckpoint(eager=True)
+            _live_checkpoints.append(base)
         base = decontaminate(base, eval_docs, window=decontam_window)
     # exact dedup: min doc_id per text hash (hash-partition window — one
     # shuffle on the 32-byte hash, never on text)
@@ -130,6 +138,55 @@ def build_training_corpus(
     )
 
 
+def _two_level_prefix(
+    scored: DataFrame,
+    token_col: str,
+    id_col: str,
+    bucket_bits: int,
+    keys: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """The shared scaffolding of every skew-safe cumulative-sum operator
+    here (budget sampler, sequence packer): bucket rows by the top
+    ``bucket_bits`` of the md5-prefix id hash (bucket order == hash order)
+    and compute each (keys, bucket)'s EXCLUSIVE token prefix sum from the
+    per-bucket aggregate — <= |keys| x 2^bucket_bits rows, driver-scale.
+    Returns (per, starts): ``per`` = scored + (_h, _b); ``starts`` =
+    (keys..., _b, _before). Callers broadcast-join ``starts`` back
+    (optionally pruning buckets first) and finish with
+    ``_intra_cumsum``."""
+    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
+
+    per = scored.withColumn(
+        "_h", md5_prefix_hash_col(F.col(id_col).cast("string"), modulus=None)
+    ).withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
+    agg = per.groupBy(*keys, "_b").agg(F.sum(token_col).alias("_btoks"))
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = agg.withColumn(
+        "_before", F.coalesce(F.sum("_btoks").over(wb), F.lit(0))
+    ).drop("_btoks")
+    return per, starts
+
+
+def _intra_cumsum(
+    token_col: str, id_col: str, keys: tuple[str, ...] = (), inclusive: bool = True
+):
+    """The intra-bucket half of the two-level cumsum: per-(keys, bucket)
+    window in (hash, id) order — max 2^-bucket_bits of a group per
+    partition — plus the bucket's broadcast `_before`. ``inclusive``
+    counts the current row's tokens (budget cut); exclusive gives the
+    row's stream START (packing)."""
+    wd = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return F.coalesce(F.sum(token_col).over(wd), F.lit(0)) + F.col("_before")
+
+
 def sample_to_token_budget(
     scored: DataFrame,
     budgets: dict[str, int],
@@ -157,32 +214,24 @@ def sample_to_token_budget(
     language per partition. Buckets entirely past the budget are pruned
     before the join, so the big side is scanned once and filtered early.
     """
-    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
-
     spark = scored.sparkSession
     b = spark.createDataFrame(
         [(l, int(t)) for l, t in sorted(budgets.items())],
         schema=f"{lang_col} string, _budget long",
     )
-    per = scored.withColumn(
-        "_h", md5_prefix_hash_col(F.col("doc_id").cast("string"), modulus=None)
-    ).withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
-    agg = per.groupBy(lang_col, "_b").agg(F.sum(token_col).alias("_btoks"))
-    wb = (
-        Window.partitionBy(lang_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per, starts = _two_level_prefix(
+        scored, token_col, "doc_id", bucket_bits, keys=(lang_col,)
     )
     cand = (
-        agg.withColumn("_before", F.coalesce(F.sum("_btoks").over(wb), F.lit(0)))
-        .join(F.broadcast(b), lang_col)
+        starts.join(F.broadcast(b), lang_col)
         .filter(F.col("_before") < F.col("_budget"))
         .select(lang_col, "_b", "_before", "_budget")
     )
-    wd = Window.partitionBy(lang_col, "_b").orderBy("_h", "doc_id")
     return (
         per.join(F.broadcast(cand), [lang_col, "_b"])
-        .withColumn("_cum", F.sum(token_col).over(wd) + F.col("_before"))
+        .withColumn(
+            "_cum", _intra_cumsum(token_col, "doc_id", (lang_col,), inclusive=True)
+        )
         .filter(F.col("_cum") <= F.col("_budget"))
         .drop("_h", "_b", "_before", "_budget", "_cum")
     )
@@ -296,23 +345,10 @@ def pack_sequences(
     window over THAT for each bucket's stream start, broadcast back, and
     run the intra-bucket exclusive cumsum per bucket — max 2^-bucket_bits
     of the corpus per partition, fully parallel."""
-    from crawling_infrastructure_spark.operators.dedup import md5_prefix_hash_col
-
-    per = scored.withColumn(
-        "_h", md5_prefix_hash_col(F.col(id_col).cast("string"), modulus=None)
-    ).withColumn("_b", F.shiftright(F.col("_h"), 60 - bucket_bits))
-    agg = per.groupBy("_b").agg(F.sum(token_col).alias("_btoks"))
-    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    starts = agg.withColumn(
-        "_before", F.coalesce(F.sum("_btoks").over(wb), F.lit(0))
-    ).select("_b", "_before")
-    wd = Window.partitionBy("_b").orderBy("_h", id_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    start = F.coalesce(F.sum(token_col).over(wd), F.lit(0)) + F.col("_before")
+    per, starts = _two_level_prefix(scored, token_col, id_col, bucket_bits)
     return (
         per.join(F.broadcast(starts), "_b")
-        .withColumn("_start", start)
+        .withColumn("_start", _intra_cumsum(token_col, id_col, (), inclusive=False))
         .select(
             F.col(id_col).alias("doc_id"),
             F.floor(F.col("_start") / capacity).cast("long").alias("shard_id"),
@@ -339,9 +375,11 @@ def arrange_packed(
     one-dir-per-shard (a 10^6-shard corpus must not become 10^6 parquet
     directories — never use partitionBy(shard_id) for this). Sort is
     within-partition only: no global sort, and the range exchange samples
-    only (shard_id) keys, never text."""
+    only (shard_id) keys, never text. The id tie-break makes the layout
+    replay-identical even when a zero-token doc shares its successor's
+    (shard_id, shard_offset)."""
     return (
         docs.join(layout, id_col)
         .repartitionByRange(num_files, "shard_id")
-        .sortWithinPartitions("shard_id", "shard_offset")
+        .sortWithinPartitions("shard_id", "shard_offset", id_col)
     )

@@ -216,6 +216,14 @@ def lm_score(
     Returns (doc_id, n_bigrams, avg_neg_logprob) for every doc with at
     least one bigram (docs under 2 tokens have no LM evidence and drop).
 
+    Smoothing convention: the add-one denominator is the FIXED cap
+    ``vocab_size + 1`` (not the realized distinct-token count) — the
+    fixed-vocabulary convention of a pretrained LM (CCNet's SentencePiece
+    model has a fixed size regardless of the scored corpus). A corpus
+    with fewer distinct tokens than the cap keeps the same denominator;
+    a literal ``<unk>`` token in the corpus shares the OOV bucket. Both
+    choices are mirrored exactly in the DuckDB oracle.
+
     Scale shape: the vocabulary cap is what makes this broadcastable —
     the model is at most (V+1)^2 bigram rows and the context table V+1
     rows, so SCORING is entirely map-side (two broadcast joins); the only

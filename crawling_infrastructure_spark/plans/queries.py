@@ -1208,12 +1208,16 @@ FROM af a LEFT JOIN close c ON a.vec_id = c.vec_id
 """
 
 
-def _substring_sql(window: int = 8, max_df: int = 50) -> str:
-    """Exact-substring oracle: the identical rolling window set (distinct
-    per doc), the identical 60-bit md5-prefix window hash, the identical
-    DF cap, then the self-join."""
+def _window_hash_ctes(window: int) -> str:
+    """The parity-critical rolling-window prelude shared by every
+    window-hash oracle (_substring_sql, _decontaminate_sql): distinct
+    (doc_id, window-token shingle) pairs from the identical single-space
+    split, collapsed to the engine's 60-bit md5-prefix hash
+    (dedup.word_shingles + md5_prefix_hash_col). ONE definition so a
+    tokenization/hash change cannot fix one oracle and silently leave the
+    other behind."""
     return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, unnest(
     CASE WHEN len(t) >= {window}
@@ -1224,7 +1228,15 @@ sh AS (
 ),
 hashed AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS wh FROM sh
-),
+)"""
+
+
+def _substring_sql(window: int = 8, max_df: int = 50) -> str:
+    """Exact-substring oracle: the identical rolling window set (distinct
+    per doc), the identical 60-bit md5-prefix window hash, the identical
+    DF cap, then the self-join."""
+    return f"""
+WITH {_window_hash_ctes(window)},
 capped AS (
   SELECT doc_id, wh FROM (
     SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS df FROM hashed)
@@ -1243,18 +1255,7 @@ def _decontaminate_sql(window: int = 8, modulus: int = 97) -> str:
     globally distinct, training side distinct per doc, left join back to
     the full training slice so kept docs appear with 0."""
     return f"""
-WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, unnest(
-    CASE WHEN len(t) >= {window}
-         THEN list_transform(generate_series(1, len(t) - {window - 1}),
-                             i -> array_to_string(t[i:i + {window - 1}], ' '))
-         ELSE [] END) AS shingle
-  FROM toks
-),
-hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS wh FROM sh
-),
+WITH {_window_hash_ctes(window)},
 ev AS (SELECT DISTINCT wh FROM hashed WHERE doc_id % {modulus} = 0),
 tr AS (SELECT doc_id, wh FROM hashed WHERE doc_id % {modulus} <> 0),
 hits AS (

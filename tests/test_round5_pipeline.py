@@ -291,7 +291,12 @@ def test_pack_sequences_bucket_width_invariance(spark):
 
 def test_funnel_decontam_gate(spark):
     """eval_docs adds decontamination as a funnel gate: the kept set is
-    exactly the no-eval funnel minus contaminated doc ids."""
+    exactly the no-eval funnel minus contaminated doc ids.
+
+    NOTE: that identity holds only because every fixture text is unique
+    (u{i} suffixes) — with duplicate texts, removing a contaminated dup-
+    group keeper would promote a different min-id survivor and the simple
+    set-difference would not describe the correct output."""
     from crawling_infrastructure_spark.operators.corpus import (
         build_training_corpus,
         contamination,
