@@ -74,6 +74,12 @@ class TaskConfig:
     neardup_pages: bool = False
     neardup_num_perm: int = 32
     neardup_threshold: float = 0.8
+    # benchmark-decontamination audit on admitted pages: when CrawlJob is
+    # given an eval_docs frame, each epoch's completed pages are probed
+    # against the (static, precomputed) eval window-hash set and flagged
+    # rows append to a contam_{task} table (flag-only — the DROP decision
+    # belongs to the downstream funnel, corpus.build_training_corpus).
+    decontam_window: int = 8
     # Bloom filter sizing for the seen-set scale path
     seen_buckets: int = 32
     bloom_fpp: float = 0.001

@@ -253,13 +253,36 @@ def corpus_language_budget(docs: DataFrame, kept: DataFrame) -> DataFrame:
     )
 
 
-def contamination(
-    docs: DataFrame,
+def eval_window_hashes(
     eval_docs: DataFrame,
     window: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+) -> DataFrame:
+    """The eval side of ``contamination``, precomputed: one (wh) column of
+    globally DISTINCT 60-bit window hashes. Static for a fixed benchmark —
+    compute once (and localCheckpoint) when probing repeatedly, e.g. the
+    crawl loop's per-epoch admission audit."""
+    from crawling_infrastructure_spark.operators.dedup import (
+        md5_prefix_hash_col,
+        word_shingles,
+    )
+
+    return (
+        word_shingles(eval_docs, window, id_col, text_col)
+        .select(md5_prefix_hash_col(F.col("shingle"), None).alias("wh"))
+        .dropDuplicates(["wh"])
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame | None,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     broadcast_eval: bool = True,
+    eval_windows: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark contamination flags — (doc_id, n_eval_windows) for every
     training document sharing at least one verbatim ``window``-token run
@@ -286,9 +309,9 @@ def contamination(
     )
 
     ev = (
-        word_shingles(eval_docs, window, id_col, text_col)
-        .select(md5_prefix_hash_col(F.col("shingle"), None).alias("wh"))
-        .dropDuplicates(["wh"])
+        eval_windows
+        if eval_windows is not None
+        else eval_window_hashes(eval_docs, window, id_col, text_col)
     )
     if broadcast_eval:
         ev = F.broadcast(ev)

@@ -120,6 +120,7 @@ class EpochStats:
     new_urls: int = 0
     bytes_fetched: int = 0
     neardup_pairs: int = 0
+    contam_docs: int = 0
     finished: bool = False
 
 
@@ -136,6 +137,7 @@ class CrawlJob:
         crawl_fn: CrawlFunction | None = None,
         region_map: DataFrame | None = None,
         proxies: DataFrame | None = None,
+        eval_docs: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -188,6 +190,25 @@ class CrawlJob:
                 threshold=cfg.neardup_threshold,
             )
             self.neardup_pairs_t = cat.table(f"neardup_pairs_{cfg.task_id}")
+        # benchmark-decontamination audit (eval_docs given): each epoch's
+        # admitted pages are probed against the eval window-hash set
+        # (operators/corpus.eval_window_hashes — static for a fixed
+        # benchmark, so computed ONCE here and localCheckpointed) and
+        # flagged rows append to contam_{task}. Flag-only by design: the
+        # DROP decision belongs to the downstream funnel
+        # (corpus.decontaminate / build_training_corpus), the crawl loop
+        # only produces the audit trail.
+        self.eval_windows = None
+        self.contam_t = None
+        if eval_docs is not None:
+            from crawling_infrastructure_spark.operators.corpus import (
+                eval_window_hashes,
+            )
+
+            self.eval_windows = eval_window_hashes(
+                eval_docs, cfg.decontam_window
+            ).localCheckpoint()
+            self.contam_t = cat.table(f"contam_{cfg.task_id}")
         # failed-item debug artifacts (store_browser_debug) — S3-debug-blob
         # analogue; one row per failed fetch, not per worker
         self.debug_t = (
@@ -637,6 +658,43 @@ class CrawlJob:
                 )
                 stats.neardup_pairs = int(nobs.get["n"] or 0)
                 self.neardup.release()
+
+        # benchmark-decontamination audit (eval_docs): probe this epoch's
+        # admitted pages against the broadcast eval window set — one scan +
+        # explode with a map-side hash probe, no shuffle of page text
+        # (operators/corpus.contamination with the precomputed, checkpointed
+        # eval_windows) — and log flagged docs with their hit counts.
+        if self.eval_windows is not None and stats.claimed:
+            with prof.step("decontam_audit"):
+                from crawling_infrastructure_spark.operators.corpus import (
+                    contamination,
+                )
+
+                admitted = results.filter(
+                    F.col("status") == Status.COMPLETED
+                ).select("url", F.col("url_hash").alias("doc_id"), "text")
+                flags = contamination(
+                    admitted,
+                    None,
+                    window=self.cfg.decontam_window,
+                    eval_windows=self.eval_windows,
+                )
+                flagged = (
+                    admitted.select("url", "doc_id")
+                    .join(flags, "doc_id")
+                    .select(
+                        F.lit(epoch).alias("epoch"),
+                        "url",
+                        "doc_id",
+                        "n_eval_windows",
+                    )
+                )
+                cobs = Observation(f"epoch-{epoch}-contam")
+                self.contam_t.append(
+                    flagged.observe(cobs, F.count(F.lit(1)).alias("n")).coalesce(1),
+                    tag=f"epoch-{epoch}",
+                )
+                stats.contam_docs = int(cobs.get["n"] or 0)
 
         # 3. pages append — columnar write replaces N S3 puts (S6/S7).
         if carry:
