@@ -407,27 +407,55 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def embedding_cosine_neardup(
-    emb: DataFrame, threshold: float = 0.95, block_col: str = "label"
+    emb: DataFrame, threshold: float = 0.95, block_col: str = "label",
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold, blocked by ``block_col``
     (the IVF-style bucket: at 10^9 vectors the block comes from a coarse
-    quantizer; here the fixture's label column). All-JVM: zip_with dot
-    product inside codegen, no Python."""
-    def norm(c):
-        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    quantizer; here the fixture's label column). All-JVM, no Python.
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col(block_col).alias("blk"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col(block_col).alias("blk"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    Per-pair work is ONE unrolled codegen dot product: norms are computed
+    per ROW before the join (identical fold, identical floats) instead of
+    twice per pair, cutting the pair stage's array arithmetic 3x. Pair
+    strategy (guide §3.3 exploding-join trap): a plain block equi-join
+    shuffles a few MB into #blocks partitions which AQE coalesces into ONE
+    task whose join output then explodes 10^3x — measured 1.0 effective
+    cores at 2*10^4 vectors. ``broadcast_pairs=True`` broadcasts one side
+    and repartitions the other to the session parallelism (right whenever
+    a block's worth of vectors fits in executor memory); False is the
+    huge-corpus path — a salted (block, salt) shuffle join that splits
+    each block's quadratic group across the cluster."""
+    from crawling_infrastructure_spark.operators.similarity import (
+        _fixed_dim,
+        _norm_expr,
+        _parallelism,
+        with_staged_dot,
     )
+
+    dim = _fixed_dim(emb, "embedding")
+    norm = _norm_expr(F.col("embedding"), dim)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        norm.alias("na"), F.col(block_col).alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        norm.alias("nb"), F.col(block_col).alias("blk"),
+    )
+    if broadcast_pairs:
+        a = a.repartition(_parallelism(emb), "id_a")
+        pairs = a.join(F.broadcast(b), "blk")
+    else:
+        s = _parallelism(emb)
+        a_s = a.withColumn("_salt", F.pmod(F.col("id_a"), F.lit(s)))
+        b_s = b.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        pairs = a_s.join(b_s, ["blk", "_salt"]).drop("_salt")
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        with_staged_dot(pairs.filter(F.col("id_a") < F.col("id_b")), "ea", "eb", "_dot", dim)
         .select(
             "id_a",
             "id_b",
-            F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 4).alias("cosine"),
+            F.round(F.col("_dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -19,6 +19,101 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Unroll per-pair array arithmetic into explicit element expressions only up
+# to this dimension: each term is a handful of codegen ops, so 256 dims stay
+# far under the 64 KB generated-method limit; wider vectors fall back to the
+# higher-order fold.
+_UNROLL_MAX_DIM = 256
+
+
+def _fixed_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Uniform length of ``vec_col`` arrays, or None when ragged/empty. One
+    tiny min/max aggregate job — the price of replacing the interpreted
+    higher-order fold with unrolled whole-stage-codegen arithmetic in every
+    pair expression (guide §1.2 'per-task work'). The unrolled chain is
+    bit-identical to the fold: same left-associated order, same float
+    multiply / double accumulate."""
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if row is None or row.lo is None or row.lo != row.hi:
+        return None
+    return int(row.lo) if row.lo <= _UNROLL_MAX_DIM else None
+
+
+def _dot_expr(ea, eb, dim: int | None):
+    """Left-assoc dot product, bit-identical to
+    aggregate(zip_with(ea, eb, *), 0.0, +): each product in the element
+    type (float for array<float>), accumulated into a double."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + ea.getItem(i) * eb.getItem(i)
+    return acc
+
+
+# Terms per Project operator in with_staged_dot. A single 64-term chain
+# generates a ~32 KB-bytecode consume method; HotSpot refuses to JIT
+# methods over ~8 KB (DontCompileHugeMethods), so the whole pair stage ran
+# in the bytecode interpreter — measured 45 s for 2*10^7 pairs where the
+# 16-term-per-method split runs the identical arithmetic in 6 s. 16 terms
+# keeps each generated method comfortably under the JIT ceiling (8 and 32
+# both measured 10x slower: 32 overshoots the ceiling, 8 fragments into
+# too many per-row calls).
+_JIT_STEP = 16
+
+
+def with_staged_dot(
+    df: DataFrame, ea: str, eb: str, out: str, dim: int | None, step: int = _JIT_STEP
+) -> DataFrame:
+    """``df`` + column ``out`` = the left-assoc dot product of ``df[ea]``
+    and ``df[eb]`` — bit-identical to the zip_with/aggregate fold (same
+    element-type multiplies, same double accumulation, same order), but
+    split across ceil(dim/step) chained Project operators so each
+    whole-stage-codegen consume method stays under HotSpot's JIT bytecode
+    ceiling. Each continuation seeds from least(acc, acc) — value-identical
+    for every double including NaN — because referencing the previous
+    accumulator twice is what stops CollapseProject from merging the
+    projections back into one giant (interpreter-bound) expression."""
+    if dim is None:
+        return df.withColumn(
+            out,
+            F.aggregate(
+                F.zip_with(F.col(ea), F.col(eb), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+    first = True
+    for start in range(0, dim, step):
+        acc = F.lit(0.0) if first else F.least(F.col(out), F.col(out))
+        for i in range(start, min(start + step, dim)):
+            acc = acc + F.col(ea).getItem(i) * F.col(eb).getItem(i)
+        df = df.withColumn(out, acc)
+        first = False
+    return df
+
+
+def _norm_expr(c, dim: int | None):
+    """sqrt of the left-assoc sum of squares — same fold the old per-pair
+    _cosine ran, evaluated ONCE per row instead of once per pair."""
+    if dim is None:
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + c.getItem(i) * c.getItem(i)
+    return F.sqrt(acc)
+
+
+def _parallelism(df: DataFrame) -> int:
+    """Scale-adaptive fan-out for pair-explosion stages: the session's total
+    cores (defaultParallelism), never a constant tuned to one host."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
 
 def _cosine(ea, eb):
     dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
@@ -34,19 +129,35 @@ def cosine_topk_bruteforce(
     Returns (query_id, neighbor_id, cosine, rank). The query side broadcasts
     (typical: thousands of probes vs billions of corpus vectors); per-query
     top-k happens in a window AFTER the map-side join, and the shuffle
-    carries only (query, neighbor, score) triples — never embeddings."""
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"))
+    carries only (query, neighbor, score) triples — never embeddings.
+
+    Per-pair work is one unrolled codegen dot product: both norms are
+    precomputed per ROW before the join (identical fold, so identical
+    floats) instead of per pair, and the corpus side is repartitioned to
+    the session parallelism so the pair explosion never runs in the scan's
+    single input task (a one-row-group parquet file otherwise serializes
+    the whole O(q x n) stage — guide §2.5 input skew)."""
+    dim = _fixed_dim(corpus, "embedding")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm_expr(F.col("embedding"), dim).alias("nq"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        _norm_expr(F.col("embedding"), dim).alias("nc"),
+    )
     if broadcast_queries:
         q = F.broadcast(q)
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("eq"), F.col("ec")), 4).alias("cosine"),
-        )
+        c = c.repartition(_parallelism(corpus), "neighbor_id")
+    scored = with_staged_dot(
+        c.crossJoin(q).filter(F.col("query_id") != F.col("neighbor_id")),
+        "eq", "ec", "_dot", dim,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_dot") / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -56,24 +167,40 @@ def cosine_topk_bruteforce(
 
 
 def cosine_topk_blocked(
-    queries: DataFrame, corpus: DataFrame, k: int = 5, block_col: str = "label"
+    queries: DataFrame, corpus: DataFrame, k: int = 5, block_col: str = "label",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """IVF-bucketed variant: only same-block pairs score (equi-join on the
-    block id — shuffle partitions by block, Zipf-safe via AQE skew split)."""
+    """IVF-bucketed variant: only same-block pairs score. The probe set is
+    the small side (thousands of probes vs the corpus), so it broadcasts
+    and the corpus is repartitioned wide: the block equi-join then runs
+    map-side over corpus splits instead of shuffling both sides into a
+    handful of block-keyed partitions whose tiny input bytes AQE coalesces
+    into ONE task while the join output explodes 10^3x inside it (the
+    exploding-join trap, guide §3.3). ``broadcast_queries=False`` restores
+    the shuffle equi-join for probe sets too big to broadcast."""
+    dim = _fixed_dim(corpus, "embedding")
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"), F.col(block_col).alias("blk")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        _norm_expr(F.col("embedding"), dim).alias("nq"),
+        F.col(block_col).alias("blk"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ec"), F.col(block_col).alias("blk")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ec"),
+        _norm_expr(F.col("embedding"), dim).alias("nc"),
+        F.col(block_col).alias("blk"),
     )
-    scored = (
-        q.join(c, "blk")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("eq"), F.col("ec")), 4).alias("cosine"),
-        )
+    if broadcast_queries:
+        q = F.broadcast(q)
+        c = c.repartition(_parallelism(corpus), "neighbor_id")
+    scored = with_staged_dot(
+        c.join(q, "blk").filter(F.col("query_id") != F.col("neighbor_id")),
+        "eq", "ec", "_dot", dim,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_dot") / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -84,14 +211,23 @@ def cosine_topk_blocked(
 # ---------------------------------------------------------------------------
 
 
-def _l2sq(vec_col, cent_col):
+def _l2sq(vec_col, cent_col, dim: int | None = None):
     """Squared L2 distance between two array columns — sequential JVM fold
-    in array order (summation order pinned for cross-engine parity)."""
-    return F.aggregate(
-        F.zip_with(vec_col, cent_col, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    in array order (summation order pinned for cross-engine parity). With
+    ``dim`` the fold unrolls into the identical left-assoc chain of
+    whole-stage-codegen expressions (same subtract/multiply element types,
+    same double accumulate — bit-identical values)."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(vec_col, cent_col, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = vec_col.getItem(i) - cent_col.getItem(i)
+        acc = acc + d * d
+    return acc
 
 
 def _codebook(spark, centroids: list[list[float]]) -> DataFrame:
@@ -106,13 +242,13 @@ def _codebook(spark, centroids: list[list[float]]) -> DataFrame:
     return F.broadcast(spark.createDataFrame([(cb,)], "_cb array<array<double>>"))
 
 
-def _dist_structs(vec_col, cb_col):
+def _dist_structs(vec_col, cb_col, dim: int | None = None):
     """(dist, idx) structs per codebook cell, via transform-with-index over
     the codebook column — the same lexicographic-struct argmin idiom as
     textstats.lang_id, data-driven instead of literal-driven."""
     return F.transform(
         cb_col,
-        lambda c, j: F.struct(_l2sq(vec_col, c).alias("d"), j.alias("j")),
+        lambda c, j: F.struct(_l2sq(vec_col, c, dim).alias("d"), j.alias("j")),
     )
 
 
@@ -121,15 +257,35 @@ def with_cell(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "blk",
+    dim: int | None = None,
+    widen: bool = False,
 ) -> DataFrame:
     """``df`` + the index of each row's nearest centroid (squared L2,
     ties -> lower index) as column ``out``. One BroadcastNestedLoopJoin
     against the 1-row codebook relation (a per-partition constant at
-    runtime) — no shuffle of the big side."""
+    runtime) — no shuffle of the big side.
+
+    ``widen`` repartitions ``df`` to the session parallelism first — for
+    inputs whose scan has fewer splits than cores (the sandbox's
+    one-row-group parquet), so the O(rows x cells x dim) assignment
+    arithmetic doesn't run in one task; the tiny vector shuffle is noise
+    next to it.
+
+    Assignment stays the transform/array_min form (plan O(1) in cells —
+    the 10^9-vector regime needs ~3*10^4 cells and a per-cell plan column
+    would blow plan size exactly like the r4 literal codebook). A flat
+    per-cell staged-column variant was measured 1.6x faster to EXECUTE at
+    2*10^4 rows but 7 s slower to PLAN per call (32 extra Project nodes
+    through the optimizer) — a net loss at any row count the sandbox
+    reaches, so it was reverted; at 10^9 rows per assignment the trade
+    reverses and the staged form (see with_staged_dot) is the shape to
+    bring back."""
     cb = _codebook(df.sparkSession, centroids)
+    if widen:
+        df = df.repartition(_parallelism(df))
     return (
         df.crossJoin(cb)
-        .withColumn(out, F.array_min(_dist_structs(F.col(vec_col), F.col("_cb")))["j"])
+        .withColumn(out, F.array_min(_dist_structs(F.col(vec_col), F.col("_cb"), dim))["j"])
         .drop("_cb")
     )
 
@@ -161,9 +317,11 @@ def kmeans_train(
         .collect()
     )
     centroids = [list(r.v) for r in init]
+    dim = _fixed_dim(emb, vec_col)
     for _ in range(iters):
         assigned = with_cell(
-            emb.select(F.col(vec_col).alias("_v")), centroids, vec_col="_v", out="j"
+            emb.select(F.col(vec_col).alias("_v")), centroids, vec_col="_v",
+            out="j", dim=dim, widen=True,
         ).select("j", F.posexplode("_v").alias("pos", "x"))
         means = (
             assigned.groupBy("j", "pos")
@@ -191,7 +349,9 @@ def with_probe_cells(
     the (tiny) query side."""
     cb = _codebook(df.sparkSession, centroids)
     top = F.slice(
-        F.array_sort(_dist_structs(F.col(vec_col), F.col("_cb"))), 1, nprobe
+        F.array_sort(_dist_structs(F.col(vec_col), F.col("_cb"), _fixed_dim(df, vec_col))),
+        1,
+        nprobe,
     )
     return (
         df.crossJoin(cb)
@@ -216,8 +376,9 @@ def cosine_topk_ivf(
     (plan size O(1) in cells — see _codebook), corpus bucketing is one
     map-side pass, and the query-side explode multiplies only the tiny
     probe set."""
+    dim = _fixed_dim(corpus, "embedding")
     bq = with_probe_cells(queries, centroids, nprobe)
-    bc = with_cell(corpus, centroids)
+    bc = with_cell(corpus, centroids, dim=dim, widen=True)
     return cosine_topk_blocked(bq, bc, k=k, block_col="blk")
 
 
@@ -227,6 +388,7 @@ def semdedup(
     iters: int = 3,
     threshold: float = 0.35,
     vec_col: str = "embedding",
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication inside trained k-means cells — cluster the corpus with
@@ -245,23 +407,53 @@ def semdedup(
     equi-join on the cell id (at 10^9 vectors with ~sqrt(n) cells each
     join group is ~sqrt(n), same as the IVF search path), the quantizer
     rides a broadcast variable, and the output is one row per vector with
-    no embedding column, so nothing downstream carries vectors."""
+    no embedding column, so nothing downstream carries vectors.
+
+    ``broadcast_pairs`` picks the pair-join strategy: True broadcasts the
+    neighbor side (right whenever one partition's worth of cells fits in
+    executor memory — the sandbox, or per-cell slices at scale); False is
+    the 10^9-vector path — a salted shuffle equi-join on (cell, salt)
+    that splits each cell's quadratic pair group across ``_parallelism``
+    tasks, because a plain cell-keyed shuffle both bottlenecks on
+    #cells partitions and invites AQE to coalesce the tiny input bytes
+    into one task while the join OUTPUT explodes inside it."""
     centroids = kmeans_train(emb, k, iters, vec_col)
-    cells = with_cell(emb.select("vec_id", vec_col), centroids, vec_col=vec_col, out="cell")
+    dim = _fixed_dim(emb, vec_col)
+    cells = with_cell(
+        emb.select("vec_id", vec_col), centroids, vec_col=vec_col, out="cell",
+        dim=dim, widen=True,
+    ).withColumn("_n", _norm_expr(F.col(vec_col), dim))
     # referenced from three join sides below — materialize once instead of
     # re-running the scan + quantizer assignment per reference (same pattern
     # as corpus.build_training_corpus survivors; drained by
-    # dedup.release_checkpoints via the shared registry)
+    # dedup.release_checkpoints via the shared registry). The per-row norm
+    # (identical fold to the old per-pair computation, so identical floats)
+    # rides the checkpoint, leaving ONE unrolled dot product per pair.
     from crawling_infrastructure_spark.operators import dedup as _dedup
 
     cells = cells.localCheckpoint(eager=True)
     _dedup._live_checkpoints.append(cells)
-    a = cells.select("vec_id", F.col(vec_col).alias("ea"), "cell")
-    b = cells.select(F.col("vec_id").alias("other"), F.col(vec_col).alias("eb"), "cell")
+    a = cells.select("vec_id", F.col(vec_col).alias("ea"), F.col("_n").alias("na"), "cell")
+    b = cells.select(
+        F.col("vec_id").alias("other"), F.col(vec_col).alias("eb"), F.col("_n").alias("nb"), "cell"
+    )
+    # pair stage: broadcast one side, keep the other partitioned wide (the
+    # checkpoint preserves the widened assignment partitioning), so the
+    # O(n^2 / cells) explosion runs on every core instead of inside the
+    # coalesced single partition a cells-keyed shuffle degenerates to
+    # (exploding-join trap, guide §3.3)
+    if broadcast_pairs:
+        pairs = a.join(F.broadcast(b), "cell")
+    else:
+        s = _parallelism(emb)
+        a_s = a.withColumn("_salt", F.pmod(F.col("vec_id"), F.lit(s)))
+        b_s = b.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        pairs = a_s.join(b_s, ["cell", "_salt"]).drop("_salt")
     close = (
-        a.join(b, "cell")
-        .filter(F.col("other") < F.col("vec_id"))
-        .filter(F.round(_cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        with_staged_dot(pairs.filter(F.col("other") < F.col("vec_id")), "ea", "eb", "_dot", dim)
+        .filter(
+            F.round(F.col("_dot") / (F.col("na") * F.col("nb")), 4) >= threshold
+        )
         .groupBy("vec_id")
         .agg(F.min("other").alias("dup_of"), F.count("*").alias("n_close"))
     )
