@@ -35,17 +35,23 @@ def main() -> None:
     from crawling_infrastructure_spark.session import get_spark
     from bench import HEADLINE_QUERIES
 
+    from bench import PhaseInterference
+
     names = HEADLINE_QUERIES if args.all else args.names
     spark = get_spark(app_name="bench_extra", cpus=args.cpus)
     out: dict[str, list[float]] = {}
+    meta: dict[str, list[dict]] = {}
     for name in names:
         walls = []
+        meta[name] = []
         for rep in range(args.reps):
             spark.sparkContext.setJobDescription(f"{name} rep{rep}")
+            ph = PhaseInterference()
             t0 = time.time()
             df = QUERIES[name](spark, args.sf)
             df.write.format("noop").mode("overwrite").save()
             walls.append(round(time.time() - t0, 3))
+            meta[name].append(ph.finish())
             release_checkpoints()
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
@@ -55,7 +61,7 @@ def main() -> None:
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
             release_checkpoints()
         out[name] = walls
-        print(json.dumps({name: walls}), flush=True)
+        print(json.dumps({name: walls, "interference": meta[name]}), flush=True)
     print(json.dumps({"sf": args.sf, "walls": out, "min": {k: min(v) for k, v in out.items()}}))
     spark.stop()
 

@@ -76,6 +76,48 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col:
     )
 
 
+def _widen(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session parallelism. The fixture corpus is a
+    one-row-group parquet file, so every scan is ONE split and the heavy
+    explode/hash/partial-aggregate map work right above it runs in a single
+    task (guide §2.5 input skew); one cheap shuffle of the input rows buys
+    a fully parallel map stage. Scale-adaptive (defaultParallelism), and a
+    near-no-op on a real multi-file table whose scan is already wide."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def hashed_shingle_stream(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int | None = None,
+    distinct: bool = False,
+) -> DataFrame:
+    """(doc_id, wh): the rolling n-token-window 60-bit md5-prefix hashes —
+    one row per occurrence, or per distinct (doc_id, wh) with
+    ``distinct``. The window string is built and hashed INSIDE the per-doc
+    transform, so only 8-byte hashes ever reach the explode and any
+    exchange above it (guide §2.3: shuffle hashes, not token strings — the
+    distinct/aggregate shuffle shrinks ~4x vs shipping the strings).
+    Identical values to hashing word_shingles' output: concat_ws over the
+    same token slice builds byte-identical window strings. Consumers whose
+    semantics are defined over the strings themselves (exact Jaccard,
+    candidate verification) keep using word_shingles."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+
+    def gram(i):
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    hashes = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: md5_prefix_hash_col(gram(i), modulus)),
+    ).otherwise(F.array().cast("array<long>"))
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(hashes).alias("wh"))
+    return out.dropDuplicates(["doc_id", "wh"]) if distinct else out
+
+
 def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, shared) + per-doc set sizes -> (doc_a, doc_b, jaccard >= threshold)."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
@@ -98,6 +140,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
     max_shingle_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
@@ -107,8 +150,16 @@ def ngram_jaccard_pairs(
     defined over the informative-shingle space). A stopword shingle shared
     by 10^6 docs would otherwise make one join group quadratic; high-DF
     shingles carry no near-dup signal. The SQL oracle applies the identical
-    cap."""
-    sh = word_shingles(docs, n, id_col, text_col)
+    cap.
+
+    ``materialize`` (default on, same contract as minhash_lsh_pairs): the
+    capped shingle set feeds FOUR plan sides (both self-join sides plus
+    both size lookups) and Catalyst re-evaluates the whole
+    explode+distinct+window subtree per reference (measured plan: 8 scans,
+    28 exchanges, zero reuse). One localCheckpoint — the same rows the
+    self-join shuffles anyway — makes the text pass run exactly once;
+    drained via release_checkpoints()."""
+    sh = word_shingles(_widen(docs, id_col), n, id_col, text_col)
     if max_shingle_df is not None:
         # window count shares the shingle-hash exchange with the self-join
         # below instead of adding a groupBy+join round trip
@@ -116,6 +167,9 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn("_df", F.count("*").over(w)).filter(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+        _live_checkpoints.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -132,6 +186,7 @@ def substring_dup_pairs(
     docs: DataFrame, window: int = 8,
     id_col: str = "doc_id", text_col: str = "text",
     max_window_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate pairs (Lee et al., "Deduplicating Training
     Data Makes Language Models Better", ACL 2022 — the suffix-array dedup,
@@ -150,15 +205,26 @@ def substring_dup_pairs(
     ``ngram_jaccard_pairs``'s stopword-shingle cap. Collision bound: 60-bit
     hash over ~10^10 distinct windows gives < 10^-4 expected false pairs;
     exactness-critical callers verify survivors with one string equi-join.
-    """
-    sh = word_shingles(docs, window, id_col, text_col)
-    hashed = sh.select("doc_id", md5_prefix_hash_col(F.col("shingle"), None).alias("wh"))
+
+    The window set collapses to hashes BEFORE the per-doc distinct
+    (hashed_shingle_stream), so the dedup shuffle carries 16-byte
+    (id, hash) pairs, never window strings — inside the operator's
+    already-documented collision tolerance (everything downstream of the
+    distinct was hash-keyed before). ``materialize`` (default on): the
+    capped hash set feeds both self-join sides; one localCheckpoint of
+    (doc_id, wh) longs replaces two executions of the text pass."""
+    hashed = hashed_shingle_stream(
+        _widen(docs, id_col), window, id_col, text_col, modulus=None, distinct=True
+    )
     if max_window_df is not None:
         # window count shares the hash exchange with the self-join below
         w = Window.partitionBy("wh")
         hashed = hashed.withColumn("_df", F.count("*").over(w)).filter(
             F.col("_df") <= max_window_df
         ).drop("_df")
+    if materialize:
+        hashed = hashed.localCheckpoint(eager=True)
+        _live_checkpoints.append(hashed)
     a = hashed.select(F.col("doc_id").alias("doc_a"), "wh")
     b = hashed.select(F.col("doc_id").alias("doc_b"), "wh")
     return (
@@ -204,10 +270,18 @@ def minhash_signatures(
     """(doc_id, m0..m{k-1}) minhash signature — ONE hash aggregate with k
     min() expressions over the shingle set, whole-stage codegen end to end.
     Docs with no shingles (fewer than n tokens) produce no row, matching the
-    shingle-set semantics (empty set has no minimum)."""
+    shingle-set semantics (empty set has no minimum).
+
+    The aggregate runs over the shingle-hash OCCURRENCE stream, not the
+    distinct set: min() is insensitive to multiplicity, so the signatures
+    are provably identical while the per-doc distinct — a full shuffle of
+    (doc_id, shingle-string) pairs, the old plan's biggest exchange —
+    disappears entirely; the only shuffle left is the map-side-combined
+    (doc_id, k mins) partial aggregates."""
     a, b = minhash_coeffs(num_perm, seed)
-    sh = word_shingles(docs, n)
-    hashed = sh.select("doc_id", md5_prefix_hash_col(F.col("shingle")).alias("h"))
+    hashed = hashed_shingle_stream(_widen(docs, "doc_id"), n).select(
+        "doc_id", (F.col("wh") % F.lit(MINHASH_P)).alias("h")
+    )
     aggs = [
         F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % F.lit(MINHASH_P)).alias(f"m{j}")
         for j in range(num_perm)
@@ -358,7 +432,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     fingerprint is set iff strictly more than half the tokens have bit i
     set (ties clear the bit, matching the classic sum(2b-1) > 0 vote)."""
     toks = F.split(F.lower(F.col("text")), " ")
-    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(toks).alias("tok"))
+    t = _widen(docs, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(toks).alias("tok")
+    )
     h = md5_prefix_hash_col(F.col("tok"), modulus=None)
     exploded = t.select("doc_id", h.alias("h"))
     aggs = [F.count("*").alias("n")] + [

@@ -32,12 +32,11 @@ def _count_occurrences(text_col, needle: str):
     ).cast("int")
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Marker-word scoring language guess. Returns (doc_id, guessed_lang,
-    score). Implemented as array_max over (score, lang) structs, so the
-    deterministic tie-break is language name DESCENDING (struct comparison
-    is lexicographic) — the oracle must mirror that."""
-    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+def lang_best_struct(text_col):
+    """The (score, lang) argmax struct behind lang_id — exposed so callers
+    composing several per-row features (the corpus funnel) can evaluate
+    them in ONE projection instead of re-joining per-feature frames."""
+    t = F.concat(F.lit(" "), F.lower(text_col), F.lit(" "))
     scores = [
         F.struct(
             sum(_count_occurrences(t, f" {m} ") for m in markers).alias("score"),
@@ -45,35 +44,64 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         )
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    best = F.array_max(F.array(*scores))
-    return docs.select(
+    return F.array_max(F.array(*scores))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word scoring language guess. Returns (doc_id, guessed_lang,
+    score). Implemented as array_max over (score, lang) structs, so the
+    deterministic tie-break is language name DESCENDING (struct comparison
+    is lexicographic) — the oracle must mirror that."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
+    best = lang_best_struct(F.col(text_col))
+    return _widen(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         best["lang"].alias("guessed_lang"),
         best["score"].cast("int").alias("score"),
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features + a combined
-    score, the usual pre-training corpus filter features."""
-    t = F.col(text_col)
+def quality_exprs(text_col) -> dict:
+    """The per-row quality feature expressions behind quality_score —
+    exposed (like lang_best_struct) for single-projection composition."""
+    t = text_col
     n_chars = F.length(t)
     tokens = F.size(F.split(t, " "))
     punct = sum(_count_occurrences(t, p) for p in [".", ",", "!", "?", ";"])
     spaced = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     stop_hits = sum(_count_occurrences(spaced, f" {s} ") for s in STOPWORDS)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
-        tokens.alias("n_tokens"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
-        F.round(stop_hits / F.greatest(tokens, F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(stop_hits / F.greatest(tokens, F.lit(1)), 4),
+        "quality": F.round(
             (stop_hits / F.greatest(tokens, F.lit(1)))
             * F.least(tokens / F.lit(100.0), F.lit(1.0)),
             4,
-        ).alias("quality"),
+        ),
+    }
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a combined
+    score, the usual pre-training corpus filter features."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
+    e = quality_exprs(F.col(text_col))
+    return _widen(docs, id_col).select(
+        F.col(id_col).alias("doc_id"),
+        *[e[k].alias(k) for k in ("n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "quality")],
     )
+
+
+def bpe_count_expr(text_col):
+    """The BPE-ish token count expression from token_counts, exposed for
+    single-projection composition (see lang_best_struct)."""
+    return F.regexp_count(
+        text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    ).cast("long")
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -82,14 +110,14 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     pre-tokenizer pattern, kept to plain character classes so Java and RE2
     engines agree), and the chars/4 rule-of-thumb estimate. All JVM
     expressions — whole-stage codegen, no Python."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
     toks = F.split(F.col(text_col), " ")
-    return docs.select(
+    return _widen(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.regexp_count(
-            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-        ).cast("long").alias("n_bpe_tokens"),
+        bpe_count_expr(F.col(text_col)).alias("n_bpe_tokens"),
         F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
     )
 
@@ -97,8 +125,10 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Normalization fingerprint: md5 over lowercased, whitespace-collapsed
     text — the cheap exact-dup key robust to formatting noise."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    return docs.select(
+    return _widen(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fingerprint"),
     )
@@ -112,12 +142,17 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def _ngram_occurrences(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, gram) with one row per OCCURRENCE (not distinct — repetition
     measures need multiplicity, unlike the dedup shingles). Same
-    single-space split as word_shingles for engine parity."""
+    single-space split as word_shingles for engine parity; the gram string
+    is concat_ws over the same token slice — byte-identical to the old
+    slice+array_join form without allocating a sub-array per gram."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.when(
         F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
     ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
 
@@ -133,10 +168,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
       occurs more than once in the doc (duplicate-n-gram family)
 
     All-JVM: one explode + hash-aggregate per gram width (the shuffle
-    carries (doc_id, gram-hash) counts, map-side combined — at 100 TB the
+    carries (doc_id, gram) counts, map-side combined — at 100 TB the
     per-doc gram histogram never materializes anywhere except as partial
     aggregates). Docs shorter than the gram width get 0.0 (no repetition
-    evidence), keeping the output total."""
+    evidence), keeping the output total. The input is repartitioned to the
+    session parallelism first: the fixture parquet is one scan split, and
+    without the spread both explode+partial-aggregate map stages run in a
+    single task (guide §2.5 input skew)."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
+    docs = _widen(docs, id_col)
+
     def per_doc(n: int, prefix: str) -> DataFrame:
         counts = _ngram_occurrences(docs, n, id_col, text_col).groupBy(
             "doc_id", "gram"
@@ -186,6 +228,8 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     n_phone, redacted_md5): the redacted text itself stays distributed
     (only its md5 surfaces, so the operator's output is compare-sized at
     any corpus scale). All-JVM regex — whole-stage codegen, no Python."""
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
     t = F.col(text_col)
     counts = [
         F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
@@ -194,7 +238,9 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     red = t
     for pat, token in PII_PATTERNS.values():
         red = F.regexp_replace(red, pat, token)
-    return docs.select(F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("redacted_md5"))
+    return _widen(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), *counts, F.md5(red).alias("redacted_md5")
+    )
 
 
 def lm_score(
@@ -202,6 +248,7 @@ def lm_score(
     vocab_size: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020):
     train an add-one-smoothed bigram LM on the corpus itself (vocabulary
@@ -224,25 +271,39 @@ def lm_score(
     a literal ``<unk>`` token in the corpus shares the OOV bucket. Both
     choices are mirrored exactly in the DuckDB oracle.
 
-    Scale shape: the vocabulary cap is what makes this broadcastable —
-    the model is at most (V+1)^2 bigram rows and the context table V+1
-    rows, so SCORING is entirely map-side (two broadcast joins); the only
-    shuffles are the count aggregates that train the model. The mapped
-    bigram stream feeds three consumers (model, context, scoring) and is
-    checkpointed once instead of recomputing the scan per consumer.
+    Scale shape: three streaming passes over the corpus and NOTHING
+    corpus-sized is ever materialized — (1) unigram counts pick the top-V
+    vocab, (2) the mapped bigram stream aggregates straight into the
+    model (groupBy(mw1, mw2) with map-side partial aggregation — the
+    shuffle carries model cells, not occurrences), (3) the scoring pass
+    recomputes the cheap map-side bigram mapping and probes ONE broadcast
+    (mw1, mw2, logprob) table precomputed from the model (<= (V+1)^2
+    rows). The context counts c1 derive from the model by re-aggregation
+    (c1 = sum of c12 over mw2 — the identical integers), so no separate
+    stream pass. An earlier form localCheckpointed the mapped stream —
+    an O(total-corpus-tokens) executor-disk write that contradicted the
+    100 TB shape and cost more than the recompute it saved.
+    ``broadcast_model=False`` degrades every broadcast here (vocab map +
+    logprob probe) to shuffle joins for vocabularies too big to broadcast
+    (the same switch as contamination's broadcast_eval).
+
     Determinism: the vocab top-V is totally ordered (count desc, token
     asc), and each bigram log-prob is rounded half-up to 9 decimals
     IN-ENGINE before the per-doc sum so partition summation-order noise
     (~1e-16) snaps to engine-independent values (same device as
     linkrank.pagerank); the published average rounds to 4.
     """
-    bi = _ngram_occurrences(docs, 2, id_col, text_col)
-    parts = F.split(F.col("gram"), " ")
-    bi = bi.select(
-        "doc_id", parts.getItem(0).alias("w1"), parts.getItem(1).alias("w2")
-    )
+    from crawling_infrastructure_spark.operators.similarity import _parallelism
+
+    # widen the scan: the fixture parquet is one row group -> one split,
+    # which would serialize every explode/aggregate pass below; the text
+    # shuffle this costs is one corpus pass, repaid three times (on a real
+    # multi-file table the scan is already wide and this is a no-op cost)
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    docs = docs.repartition(_parallelism(docs))
+    toks = F.split(F.lower(F.col("text")), " ")
     uni = (
-        _ngram_occurrences(docs, 1, id_col, text_col)
+        docs.select(F.explode(toks).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("c"))
     )
@@ -251,32 +312,69 @@ def lm_score(
         .limit(vocab_size)
         .select(F.col("gram").alias("_v"))
     )
-    v1 = F.broadcast(vocab.select(F.col("_v").alias("_v1")))
-    v2 = F.broadcast(vocab.select(F.col("_v").alias("_v2")))
-    m = (
-        bi.join(v1, F.col("w1") == F.col("_v1"), "left")
-        .join(v2, F.col("w2") == F.col("_v2"), "left")
-        .select(
-            "doc_id",
-            F.coalesce("_v1", F.lit("<unk>")).alias("mw1"),
-            F.coalesce("_v2", F.lit("<unk>")).alias("mw2"),
-        )
-    )
-    from crawling_infrastructure_spark.operators import dedup as _dedup
+    # With the broadcastable cap, pull the vocab to the driver ONCE (V
+    # strings — model state, same class as k-means centroids) and map
+    # tokens with a codegen'd set probe: re-deriving it per join side
+    # would re-run the unigram aggregate once per broadcast (4x). The
+    # shuffle-join path keeps the vocab distributed.
+    vocab_set: list[str] | None = None
+    if broadcast_model:
+        vocab_set = [r._v for r in vocab.collect()]
 
-    m = m.localCheckpoint(eager=True)
-    _dedup._live_checkpoints.append(m)
-    model = m.groupBy("mw1", "mw2").agg(F.count("*").alias("c12"))
-    ctx = m.groupBy("mw1").agg(F.count("*").alias("c1"))
+    def to_vocab(col):
+        if not vocab_set:
+            return F.lit("<unk>")
+        return F.when(col.isin(*vocab_set), col).otherwise(F.lit("<unk>"))
+
+    def mapped_bigrams() -> DataFrame:
+        # one row per bigram occurrence, words mapped into the capped
+        # vocab. (w1, w2) come straight from the token array (identical
+        # values to the old build-gram-string-then-resplit form, minus
+        # the per-gram string concat + split)
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        bi = docs.select("doc_id", F.explode(grams).alias("g")).select(
+            "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        )
+        if broadcast_model:
+            return bi.select(
+                "doc_id",
+                to_vocab(F.col("w1")).alias("mw1"),
+                to_vocab(F.col("w2")).alias("mw2"),
+            )
+        v1 = vocab.select(F.col("_v").alias("_v1"))
+        v2 = vocab.select(F.col("_v").alias("_v2"))
+        return (
+            bi.join(v1, F.col("w1") == F.col("_v1"), "left")
+            .join(v2, F.col("w2") == F.col("_v2"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("_v1", F.lit("<unk>")).alias("mw1"),
+                F.coalesce("_v2", F.lit("<unk>")).alias("mw2"),
+            )
+        )
+
+    model = mapped_bigrams().groupBy("mw1", "mw2").agg(F.count("*").alias("c12"))
+    # c1 = occurrences of mw1 as a bigram head == sum of its model row
+    # counts: identical integers to counting the stream, zero extra passes
+    ctx = model.groupBy("mw1").agg(F.sum("c12").cast("long").alias("c1"))
     denom_add = float(vocab_size + 1)  # smoothing vocab includes <unk>
     lp = F.round(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(denom_add))), 9
     )
-    scored = (
-        m.join(F.broadcast(model), ["mw1", "mw2"])
-        .join(F.broadcast(ctx), "mw1")
-        .withColumn("_lp", lp)
-    )
+    lp_table = model.join(ctx, "mw1").select("mw1", "mw2", lp.alias("_lp"))
+    if broadcast_model:
+        lp_table = F.broadcast(lp_table)
+    scored = mapped_bigrams().join(lp_table, ["mw1", "mw2"])
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(-F.sum("_lp") / F.count("*"), 4).alias("avg_neg_logprob"),

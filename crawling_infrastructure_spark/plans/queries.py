@@ -802,13 +802,21 @@ def q_corpus_budget_sample(spark, sf_dir):
         sample_to_token_budget,
     )
     from crawling_infrastructure_spark.operators.textstats import (
-        lang_id,
-        token_counts,
+        bpe_count_expr,
+        lang_best_struct,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = lang_id(docs).select("doc_id", "guessed_lang").join(
-        token_counts(docs).select("doc_id", "n_bpe_tokens"), "doc_id"
+    # both features are per-row expressions: one projection, one scan
+    # (identical values to the old lang_id >< token_counts self-join),
+    # widened so the regexp/marker arithmetic runs post-exchange on every
+    # core instead of inside the single scan split
+    from crawling_infrastructure_spark.operators.dedup import _widen
+
+    docs = _widen(_t(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "doc_id",
+        lang_best_struct(F.col("text"))["lang"].alias("guessed_lang"),
+        bpe_count_expr(F.col("text")).alias("n_bpe_tokens"),
     )
     return sample_to_token_budget(
         scored, SAMPLE_BUDGETS, token_col="n_bpe_tokens"
