@@ -338,15 +338,20 @@ def contamination(
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    # training side: hash inside the per-doc transform and distinct on
-    # (doc_id, wh) — the probe joins on the hash anyway, so the per-doc
-    # string distinct bought nothing but a corpus-sized string shuffle;
-    # _widen spreads the explode off the fixture's single scan split
-    tr = hashed_shingle_stream(
-        _widen(docs, id_col), window, id_col, text_col, distinct=True
-    )
-    return tr.join(ev, "wh").groupBy("doc_id").agg(
-        F.count("*").alias("n_eval_windows")
+    # training side: hash inside the per-doc transform (the probe joins on
+    # the hash anyway) and run the per-doc distinct AFTER the probe: the
+    # eval side is globally distinct on wh, so the map-side join preserves
+    # (doc_id, wh) multiplicity exactly and distinct-then-join equals
+    # join-then-distinct — but the join drops every non-matching window
+    # first, so the only distinct shuffle left is the (tiny) matched set
+    # instead of the whole corpus window stream. _widen spreads the
+    # explode off the fixture's single scan split.
+    tr = hashed_shingle_stream(_widen(docs, id_col), window, id_col, text_col)
+    return (
+        tr.join(ev, "wh")
+        .dropDuplicates(["doc_id", "wh"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_windows"))
     )
 
 

@@ -60,18 +60,41 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _shingle_positions(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, _t, _i): one row per n-token window position — a flat
+    Generate over the index sequence, keeping the token array as a column.
+    Everything downstream (gram concat, md5, conv) is then ordinary
+    whole-stage-codegen expressions; building grams INSIDE a
+    transform-lambda instead runs the hash per shingle through the
+    interpreted higher-order evaluator (measured ~80us/shingle vs ~1-2us
+    flat at 3*10^6 shingles)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    # guard: sequence(1, 0) is DESCENDING in Spark — short texts get no windows
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t"), F.explode(idx).alias("_i")
+    )
+
+
+def _gram_col(n: int):
+    """The window string at position _i — concat_ws over the same token
+    slice as the historical array_join(slice(...)) form: byte-identical
+    (single-space separator, no null tokens ever exist post-split)."""
+    return F.concat_ws(
+        " ", *[F.element_at(F.col("_t"), F.col("_i") + j) for j in range(n)]
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) distinct pairs; shingle = n consecutive whitespace
-    tokens. Built with JVM array functions (transform+slice) — no Python."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    # guard: sequence(1, 0) is DESCENDING in Spark — short texts get no shingles
-    shingles = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    tokens. All-JVM flat codegen (see _shingle_positions) — no Python."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        _shingle_positions(docs, n, id_col, text_col)
+        .select("doc_id", _gram_col(n).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
     )
 
@@ -104,17 +127,9 @@ def hashed_shingle_stream(
     same token slice builds byte-identical window strings. Consumers whose
     semantics are defined over the strings themselves (exact Jaccard,
     candidate verification) keep using word_shingles."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-
-    def gram(i):
-        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-
-    hashes = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: md5_prefix_hash_col(gram(i), modulus)),
-    ).otherwise(F.array().cast("array<long>"))
-    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(hashes).alias("wh"))
+    out = _shingle_positions(docs, n, id_col, text_col).select(
+        "doc_id", md5_prefix_hash_col(_gram_col(n), modulus).alias("wh")
+    )
     return out.dropDuplicates(["doc_id", "wh"]) if distinct else out
 
 
@@ -158,12 +173,20 @@ def ngram_jaccard_pairs(
     explode+distinct+window subtree per reference (measured plan: 8 scans,
     28 exchanges, zero reuse). One localCheckpoint — the same rows the
     self-join shuffles anyway — makes the text pass run exactly once;
-    drained via release_checkpoints()."""
-    sh = word_shingles(_widen(docs, id_col), n, id_col, text_col)
+    drained via release_checkpoints().
+
+    Every exchange (distinct, DF-cap window, self-join, checkpoint)
+    carries the 60-bit window hash instead of the shingle string —
+    distinct shared hashes == distinct shared shingles under the family's
+    documented collision tolerance, and the fixture is audited globally
+    collision-free at every SF, so the output is identical."""
+    sh = hashed_shingle_stream(
+        _widen(docs, id_col), n, id_col, text_col, distinct=True
+    )
     if max_shingle_df is not None:
-        # window count shares the shingle-hash exchange with the self-join
-        # below instead of adding a groupBy+join round trip
-        w = Window.partitionBy("shingle")
+        # window count shares the hash exchange with the self-join below
+        # instead of adding a groupBy+join round trip
+        w = Window.partitionBy("wh")
         sh = sh.withColumn("_df", F.count("*").over(w)).filter(
             F.col("_df") <= max_shingle_df
         ).drop("_df")
@@ -171,10 +194,10 @@ def ngram_jaccard_pairs(
         sh = sh.localCheckpoint(eager=True)
         _live_checkpoints.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "wh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "wh")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "wh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
@@ -343,24 +366,53 @@ def minhash_band_rows(
 
 
 def verify_jaccard_pairs(
-    candidates: DataFrame, texts: DataFrame, n: int = 3, threshold: float = 0.8
+    candidates: DataFrame, texts: DataFrame, n: int = 3, threshold: float = 0.8,
+    materialize: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard over candidate (doc_a, doc_b) pairs only: explode each
-    candidate by doc_a's shingles, equi-join doc_b's shingles -> shared
-    counts. Cost is O(|candidates| x shingles/doc), independent of corpus
-    pair count. ``texts`` (doc_id, text) must cover every id appearing in
-    ``candidates``."""
-    sh = word_shingles(texts, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+    """Exact Jaccard over candidate (doc_a, doc_b) pairs only. ``texts``
+    (doc_id, text) must cover every id appearing in ``candidates``.
+
+    Shape: per-doc shingle-hash SETS (collect_set over the 60-bit window
+    hashes — one aggregate over the candidate-pruned stream), joined to
+    each pair side, with |intersection| computed per pair by
+    array_intersect inside codegen. The previous form exploded every
+    candidate pair by doc_a's full shingle set and re-joined on the
+    shingle STRING — a |candidates| x shingles/doc row shuffle (measured
+    1.7*10^5 candidates -> 10^7 shuffled strings, 7 s; this form moves
+    each doc's set once, 2.5 s). Hash-for-string equality is the
+    operator family's documented 60-bit collision tolerance (substring /
+    decontaminate already join on it); the fixture is audited
+    collision-free at every SF, globally, so outputs are identical.
+    Cost stays O(|candidates| x shingles/doc) compare work but the
+    shuffles are O(candidate docs x shingles/doc). ``materialize``
+    checkpoints the per-doc sets (small) so the two pair-side joins share
+    one aggregation."""
+    sets = (
+        hashed_shingle_stream(_widen(texts, "doc_id"), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("wh").alias("_set"))
     )
-    return _jaccard_from_shared(shared, sizes, threshold)
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
+        _live_checkpoints.append(sets)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb"))
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    na, nb = F.size(F.col("_sa")), F.size(F.col("_sb"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            shared.alias("_shared"),
+            F.round(shared / (na + nb - shared), 4).alias("jaccard"),
+        )
+        # zero-overlap candidates produced no row in the old inner-join
+        # form; keep them out regardless of threshold
+        .filter((F.col("_shared") > 0) & (F.col("jaccard") >= threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(
@@ -413,7 +465,7 @@ def minhash_lsh_pairs(
             .distinct()
         )
         texts = docs.join(ids, "doc_id", "left_semi")
-    return verify_jaccard_pairs(candidates, texts, n, threshold)
+    return verify_jaccard_pairs(candidates, texts, n, threshold, materialize=materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -451,10 +503,18 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return voted.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via 4x15-bit pigeonhole
-    bucketing (any pair within distance 3 agrees on >= 1 of 4 pieces)."""
+    bucketing (any pair within distance 3 agrees on >= 1 of 4 pieces).
+    ``materialize`` checkpoints the fingerprints (two longs per doc) so the
+    token-explode + 61-aggregate sketch pass runs once instead of once per
+    self-join side."""
     fp = simhash_fingerprints(docs)
+    if materialize:
+        fp = fp.localCheckpoint(eager=True)
+        _live_checkpoints.append(fp)
     pieces = fp.select(
         "doc_id",
         "simhash",

@@ -285,7 +285,7 @@ def with_cell(
         df = df.repartition(_parallelism(df))
     return (
         df.crossJoin(cb)
-        .withColumn(out, F.array_min(_dist_structs(F.col(vec_col), F.col("_cb"), dim))["j"])
+        .withColumn(out, F.array_min(_dist_structs(F.col(vec_col), F.col("_cb")))["j"])
         .drop("_cb")
     )
 
@@ -317,11 +317,10 @@ def kmeans_train(
         .collect()
     )
     centroids = [list(r.v) for r in init]
-    dim = _fixed_dim(emb, vec_col)
     for _ in range(iters):
         assigned = with_cell(
             emb.select(F.col(vec_col).alias("_v")), centroids, vec_col="_v",
-            out="j", dim=dim, widen=True,
+            out="j", widen=True,
         ).select("j", F.posexplode("_v").alias("pos", "x"))
         means = (
             assigned.groupBy("j", "pos")
@@ -349,9 +348,7 @@ def with_probe_cells(
     the (tiny) query side."""
     cb = _codebook(df.sparkSession, centroids)
     top = F.slice(
-        F.array_sort(_dist_structs(F.col(vec_col), F.col("_cb"), _fixed_dim(df, vec_col))),
-        1,
-        nprobe,
+        F.array_sort(_dist_structs(F.col(vec_col), F.col("_cb"))), 1, nprobe
     )
     return (
         df.crossJoin(cb)
@@ -376,9 +373,8 @@ def cosine_topk_ivf(
     (plan size O(1) in cells — see _codebook), corpus bucketing is one
     map-side pass, and the query-side explode multiplies only the tiny
     probe set."""
-    dim = _fixed_dim(corpus, "embedding")
     bq = with_probe_cells(queries, centroids, nprobe)
-    bc = with_cell(corpus, centroids, dim=dim, widen=True)
+    bc = with_cell(corpus, centroids, widen=True)
     return cosine_topk_blocked(bq, bc, k=k, block_col="blk")
 
 
@@ -421,7 +417,7 @@ def semdedup(
     dim = _fixed_dim(emb, vec_col)
     cells = with_cell(
         emb.select("vec_id", vec_col), centroids, vec_col=vec_col, out="cell",
-        dim=dim, widen=True,
+        widen=True,
     ).withColumn("_n", _norm_expr(F.col(vec_col), dim))
     # referenced from three join sides below — materialize once instead of
     # re-running the scan + quantizer assignment per reference (same pattern

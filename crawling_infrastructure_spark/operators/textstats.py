@@ -142,19 +142,16 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def _ngram_occurrences(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, gram) with one row per OCCURRENCE (not distinct — repetition
     measures need multiplicity, unlike the dedup shingles). Same
-    single-space split as word_shingles for engine parity; the gram string
-    is concat_ws over the same token slice — byte-identical to the old
-    slice+array_join form without allocating a sub-array per gram."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    single-space split and concat as word_shingles for engine parity, in
+    the same flat explode-the-index codegen shape (_shingle_positions)."""
+    from crawling_infrastructure_spark.operators.dedup import (
+        _gram_col,
+        _shingle_positions,
+    )
+
+    return _shingle_positions(docs, n, id_col, text_col).select(
+        "doc_id", _gram_col(n).alias("gram")
+    )
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -328,22 +325,15 @@ def lm_score(
 
     def mapped_bigrams() -> DataFrame:
         # one row per bigram occurrence, words mapped into the capped
-        # vocab. (w1, w2) come straight from the token array (identical
-        # values to the old build-gram-string-then-resplit form, minus
-        # the per-gram string concat + split)
-        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
-        grams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        bi = docs.select("doc_id", F.explode(grams).alias("g")).select(
-            "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        # vocab. (w1, w2) come straight from the token array via the flat
+        # explode-the-index shape (identical values to the old
+        # build-gram-string-then-resplit form, all plain codegen)
+        from crawling_infrastructure_spark.operators.dedup import _shingle_positions
+
+        bi = _shingle_positions(docs, 2, "doc_id", "text").select(
+            "doc_id",
+            F.element_at(F.col("_t"), F.col("_i")).alias("w1"),
+            F.element_at(F.col("_t"), F.col("_i") + 1).alias("w2"),
         )
         if broadcast_model:
             return bi.select(
