@@ -42,20 +42,6 @@ def _fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row.lo) if row.lo <= _UNROLL_MAX_DIM else None
 
 
-def _dot_expr(ea, eb, dim: int | None):
-    """Left-assoc dot product, bit-identical to
-    aggregate(zip_with(ea, eb, *), 0.0, +): each product in the element
-    type (float for array<float>), accumulated into a double."""
-    if dim is None:
-        return F.aggregate(
-            F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + ea.getItem(i) * eb.getItem(i)
-    return acc
-
-
 # Terms per Project operator in with_staged_dot. A single 64-term chain
 # generates a ~32 KB-bytecode consume method; HotSpot refuses to JIT
 # methods over ~8 KB (DontCompileHugeMethods), so the whole pair stage ran
@@ -113,13 +99,6 @@ def _parallelism(df: DataFrame) -> int:
     """Scale-adaptive fan-out for pair-explosion stages: the session's total
     cores (defaultParallelism), never a constant tuned to one host."""
     return df.sparkSession.sparkContext.defaultParallelism
-
-
-def _cosine(ea, eb):
-    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    na = F.sqrt(F.aggregate(ea, F.lit(0.0), lambda a, x: a + x * x))
-    nb = F.sqrt(F.aggregate(eb, F.lit(0.0), lambda a, x: a + x * x))
-    return dot / (na * nb)
 
 
 def cosine_topk_bruteforce(

@@ -149,6 +149,21 @@ def test_lm_score_shuffle_fallback_equals_broadcast(spark):
     assert 4 not in a  # single-token doc has no bigram evidence
 
 
+def test_salted_pair_join_fallback_equals_broadcast(emb):
+    # the huge-corpus path (salted (block, salt) shuffle join) must produce
+    # the identical pair set and cosines as the broadcast default
+    from crawling_infrastructure_spark.operators.dedup import embedding_cosine_neardup
+    from crawling_infrastructure_spark.operators.similarity import semdedup
+
+    a = embedding_cosine_neardup(emb, threshold=0.2, broadcast_pairs=True)
+    b = embedding_cosine_neardup(emb, threshold=0.2, broadcast_pairs=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    sa = semdedup(emb, k=2, iters=2, threshold=0.5, broadcast_pairs=True)
+    sb = semdedup(emb, k=2, iters=2, threshold=0.5, broadcast_pairs=False)
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+
+
 def test_contamination_join_then_distinct(spark):
     # a training doc repeating a contaminated window many times must count
     # it ONCE (per-doc distinct semantics survive the join-first rewrite)
