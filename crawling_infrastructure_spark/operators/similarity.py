@@ -296,11 +296,23 @@ def kmeans_train(
         .collect()
     )
     centroids = [list(r.v) for r in init]
+    # materialize the widened vector column ONCE: every Lloyd iteration is
+    # a fresh job over the same input, and without this each of the
+    # ``iters`` assignment jobs re-runs the scan + widening shuffle from
+    # parquet (checkpoint registered for release_checkpoints; vectors
+    # only — k*dim driver state is unchanged)
+    from crawling_infrastructure_spark.operators import dedup as _dedup
+
+    ev = (
+        emb.select(F.col(vec_col).alias("_v"))
+        .repartition(_parallelism(emb))
+        .localCheckpoint(eager=True)
+    )
+    _dedup._live_checkpoints.append(ev)
     for _ in range(iters):
-        assigned = with_cell(
-            emb.select(F.col(vec_col).alias("_v")), centroids, vec_col="_v",
-            out="j", widen=True,
-        ).select("j", F.posexplode("_v").alias("pos", "x"))
+        assigned = with_cell(ev, centroids, vec_col="_v", out="j").select(
+            "j", F.posexplode("_v").alias("pos", "x")
+        )
         means = (
             assigned.groupBy("j", "pos")
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
